@@ -1,0 +1,63 @@
+"""gridpp_tpu: a TPU-native gridded post-processing engine.
+
+A from-scratch JAX/XLA/Pallas implementation of the capability surface of
+metno/gridpp (downscaling, neighbourhood statistics, calibration, optimal
+interpolation), designed TPU-first: spatial search is a one-time host
+precompute emitting gather maps; all apply-time compute is dense batched
+XLA/Pallas kernels; large grids shard over a device mesh with halo exchange.
+
+The public namespace mirrors gridpp's Python bindings (same function names,
+argument orders, enums, and ValueError behaviour) so existing gridpp user
+code and tests port near-verbatim.
+"""
+from .constants import *  # noqa: F401,F403  (enums, constants, MV, version)
+from .constants import __version__
+
+from .core.grid import Grid  # noqa: F401
+from .core.kdtree import KDTree  # noqa: F401
+from .core.point import Point  # noqa: F401
+from .core.points import Points  # noqa: F401
+
+from .api.utils import (  # noqa: F401
+    calc_even_quantiles, calc_quantile, calc_statistic, compatible_size,
+    convert_coordinates, get_lower_index, get_upper_index, init_ivec2,
+    init_ivec3, init_vec2, init_vec3, interpolate, is_valid, is_valid_lat,
+    is_valid_lon, num_missing_values, point_in_rectangle,
+)
+from .api.downscaling import bilinear, downscaling, nearest  # noqa: F401
+
+# SWIG-style static-method aliases kept for parity with the bindings
+KDTree_calc_distance = KDTree.calc_distance
+KDTree_calc_distance_fast = KDTree.calc_distance_fast
+KDTree_calc_straight_distance = KDTree.calc_straight_distance
+KDTree_deg2rad = KDTree.deg2rad
+KDTree_rad2deg = KDTree.rad2deg
+
+
+def set_omp_threads(num):  # parity no-op: XLA manages threading
+    pass
+
+
+def get_omp_threads():
+    return 0
+
+
+def initialize_omp():
+    pass
+
+
+_debug_level = 0
+
+
+def set_debug_level(level):
+    global _debug_level
+    _debug_level = int(level)
+
+
+def get_debug_level():
+    return _debug_level
+
+
+def clock():
+    import time
+    return time.time()
