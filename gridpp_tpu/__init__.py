@@ -25,6 +25,11 @@ from .api.utils import (  # noqa: F401
     is_valid_lon, num_missing_values, point_in_rectangle,
 )
 from .api.downscaling import bilinear, downscaling, nearest  # noqa: F401
+from .api.neighbourhood import (  # noqa: F401
+    get_neighbourhood_thresholds, neighbourhood, neighbourhood_brute_force,
+    neighbourhood_ens, neighbourhood_quantile, neighbourhood_quantile_ens,
+    neighbourhood_quantile_ens_fast, neighbourhood_quantile_fast,
+)
 
 # SWIG-style static-method aliases kept for parity with the bindings
 KDTree_calc_distance = KDTree.calc_distance
