@@ -25,6 +25,21 @@ from .api.utils import (  # noqa: F401
     is_valid_lon, num_missing_values, point_in_rectangle,
 )
 from .api.downscaling import bilinear, downscaling, nearest  # noqa: F401
+from .structure import (  # noqa: F401
+    BarnesStructure, CressmanStructure, CrossValidation, LinearStructure,
+    MultipleStructure, PowerlawStructure, SoarStructure, StructureFunction,
+    ToarStructure,
+)
+from .api.oi import (  # noqa: F401
+    optimal_interpolation, optimal_interpolation_full,
+)
+from .api.curves import (  # noqa: F401
+    apply_curve, calc_score, get_optimal_threshold, metric_optimizer_curve,
+    monotonize_curve, quantile_mapping_curve,
+)
+from .api.transform import (  # noqa: F401
+    BoxCox, Gamma, Identity, Log, StartedBoxCox, Transform,
+)
 from .api.neighbourhood import (  # noqa: F401
     get_neighbourhood_thresholds, neighbourhood, neighbourhood_brute_force,
     neighbourhood_ens, neighbourhood_quantile, neighbourhood_quantile_ens,

@@ -1,0 +1,239 @@
+"""Optimal interpolation API (reference src/api/oi.cpp).
+
+Host orchestration: validate, flatten, pre-filter invalid observations,
+run the variable-radius candidate query once, then stream blocks of
+gridpoints through the batched device kernel (ops/oi.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MV
+from ..core.grid import Grid
+from ..core.points import Points
+from ..ops.oi import make_oi_kernel
+from ._common import asarray_f32
+
+__all__ = ["optimal_interpolation", "optimal_interpolation_full"]
+
+# Gridpoints per device block: bounds peak memory for the (B, S, S)
+# covariance assembly while keeping the MXU busy.
+_BLOCK = 65536
+
+
+def _point_fields(xyz, elevs, lafs, idx=None):
+    if idx is None:
+        return {"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+                "elev": elevs.astype(np.float64),
+                "laf": lafs.astype(np.float64)}
+    return {"x": xyz[idx, 0], "y": xyz[idx, 1], "z": xyz[idx, 2],
+            "elev": elevs[idx].astype(np.float64),
+            "laf": lafs[idx].astype(np.float64)}
+
+
+def _oi_points(bpoints: Points, background, bvariance, points: Points,
+               pobs, obs_variance, pbackground, bvariance_at_points,
+               structure, max_points, allow_extrapolation):
+    """Points-form optimal_interpolation_full (oi.cpp:138-341)."""
+    n = bpoints.size()
+    ns = points.size()
+    background = np.asarray(background, np.float32)
+    bvariance = np.asarray(bvariance, np.float32)
+    output = background.copy()
+    avar = bvariance.copy()
+    if ns == 0:
+        return output, avar
+
+    pratios = np.asarray(obs_variance, np.float32) / np.asarray(
+        bvariance_at_points, np.float32)
+    pobs = np.asarray(pobs, np.float32)
+    pbackground = np.asarray(pbackground, np.float32)
+
+    # Pre-filter observations with invalid values (oi.cpp:250-260): they can
+    # never be selected, so drop them from the candidate pool entirely.
+    keep = np.isfinite(pobs) & np.isfinite(pbackground)
+    if not keep.any():
+        return output, avar
+    kidx = np.nonzero(keep)[0]
+    opts = points.subset(kidx)
+    pobs_k = pobs[kidx]
+    pbg_k = pbackground[kidx]
+    pratios_k = pratios[kidx]
+
+    # Localization radii (may vary per gridpoint for spatial structures)
+    blats = bpoints.lats
+    blons = bpoints.lons
+    loc = structure.localization_np(blats, blons)
+
+    # Candidate query: obs within the localization radius.
+    # Small problems use the exact ball query. Large grids use capped
+    # k-nearest-within-radius, which returns dense numpy arrays straight
+    # from the tree (the ball query would materialize millions of Python
+    # lists). The cap is exact whenever rho is monotone in distance (no
+    # elev/laf kernel active, the common production case); otherwise the
+    # 4x max_points margin makes misses unlikely.
+    obs_tree = opts.index.tree
+    bxyz = bpoints.xyz
+    loc = np.asarray(loc, np.float64)
+    n_obs = opts.size()
+    if n <= 262_144:
+        if loc.size and np.all(loc == loc.ravel()[0]):
+            lists = obs_tree.query_ball_point(bxyz, r=float(loc.ravel()[0]),
+                                              workers=-1)
+        else:
+            lists = obs_tree.query_ball_point(bxyz, r=loc, workers=-1)
+        counts = np.fromiter((len(l) for l in lists), dtype=np.int64,
+                             count=len(lists))
+        kmax = int(counts.max()) if counts.size else 0
+        if kmax == 0:
+            return output, avar
+        cand = np.zeros((n, kmax), dtype=np.int32)
+        mask = np.zeros((n, kmax), dtype=bool)
+        for i, lst in enumerate(lists):
+            c = len(lst)
+            if c:
+                cand[i, :c] = lst
+                mask[i, :c] = True
+    else:
+        k_cand = min(n_obs, max(4 * max_points, 32) if max_points > 0
+                     else n_obs)
+        rmax = float(loc.max()) if loc.size else 0.0
+        dist, cand = obs_tree.query(bxyz, k=k_cand,
+                                    distance_upper_bound=rmax, workers=-1)
+        if k_cand == 1:
+            dist = dist[:, None]
+            cand = cand[:, None]
+        mask = dist <= loc[:, None]
+        cand = np.where(mask, cand, 0).astype(np.int32)
+        if not mask.any():
+            return output, avar
+
+    # Resolved p1 fields (gridpoints), incl. spatial h/v/w if needed
+    p1_all = _point_fields(bxyz, bpoints.elevs, bpoints.lafs)
+    p1_all["lat"] = blats.astype(np.float64)
+    p1_all["lon"] = blons.astype(np.float64)
+    p1_all = structure.resolve_p1_np(p1_all)
+    p1_all.pop("lat", None)
+    p1_all.pop("lon", None)
+
+    # Observation fields (with their own resolved scales for the pairwise
+    # obs-obs correlations, where each obs acts as p1)
+    o_fields = _point_fields(opts.xyz, opts.elevs, opts.lafs)
+    o_fields["lat"] = opts.lats.astype(np.float64)
+    o_fields["lon"] = opts.lons.astype(np.float64)
+    o_fields = structure.resolve_p1_np(o_fields)
+    o_fields.pop("lat", None)
+    o_fields.pop("lon", None)
+    o_fields = {k: jnp.asarray(v) for k, v in o_fields.items()}
+    j_obs = jnp.asarray(pobs_k)
+    j_bg = jnp.asarray(pbg_k)
+    j_ratios = jnp.asarray(pratios_k)
+
+    kernel = make_oi_kernel(structure, int(max_points),
+                            bool(allow_extrapolation))
+
+    block = _BLOCK
+    for start in range(0, n, block):
+        end = min(start + block, n)
+        ci = cand[start:end]
+        mi = mask[start:end]
+        p1 = {k: jnp.asarray(v[start:end])[:, None] for k, v in p1_all.items()}
+        cand_j = jnp.asarray(ci)
+        cand_fields = {k: jnp.take(v, cand_j, axis=0)
+                       for k, v in o_fields.items()}
+        obs_b = jnp.take(j_obs, cand_j, axis=0)
+        y_b = jnp.take(j_bg, cand_j, axis=0)
+        r_b = jnp.take(j_ratios, cand_j, axis=0)
+        out_b, avar_b = kernel(p1, cand_fields, jnp.asarray(mi),
+                               jnp.asarray(background[start:end]),
+                               jnp.asarray(bvariance[start:end]),
+                               obs_b, y_b, r_b)
+        output[start:end] = np.asarray(out_b)
+        avar[start:end] = np.asarray(avar_b)
+    return output, avar
+
+
+def _validate_oi(bobj, background, points, pobs, extra_vecs, names):
+    if bobj.get_coordinate_type() != points.get_coordinate_type():
+        raise ValueError(
+            "Both background and observations points must be of same "
+            "coordinate type (lat/lon or x/y)")
+    if isinstance(bobj, Grid):
+        gy, gx = bobj.size()
+        if background.shape != (gy, gx):
+            raise ValueError(
+                f"input field ({background.shape[0]},{background.shape[1]}) "
+                f"is not the same size as the grid ({gy},{gx})")
+    else:
+        if background.shape[0] != bobj.size():
+            raise ValueError(
+                f"Input field ({bobj.size()}) is not the same size as the "
+                f"grid ({background.shape[0]})")
+    if pobs.shape[0] != points.size():
+        raise ValueError(
+            f"Observations ({pobs.shape[0]}) and points ({points.size()}) "
+            "size mismatch")
+    for v, name in zip(extra_vecs, names):
+        if v.shape[0] != points.size():
+            raise ValueError(
+                f"{name} ({v.shape[0]}) and points ({points.size()}) size "
+                "mismatch")
+
+
+def optimal_interpolation(bgrid, background, points, pobs, pratios,
+                          pbackground, structure, max_points,
+                          allow_extrapolation=True):
+    """Deterministic OI (oi.cpp:26-136). Grid or Points background."""
+    if max_points < 0:
+        raise ValueError("max_points must be >= 0")
+    background = asarray_f32(background, "background")
+    pobs = asarray_f32(pobs, "pobs").ravel()
+    pratios = asarray_f32(pratios, "pratios").ravel()
+    pbackground = asarray_f32(pbackground, "pbackground").ravel()
+    _validate_oi(bgrid, background, points, pobs,
+                 (pratios, pbackground), ("Ratios", "Background"))
+    is_grid = isinstance(bgrid, Grid)
+    bpoints = bgrid.to_points() if is_grid else bgrid
+    flat_bg = background.ravel()
+    ones = np.ones_like(flat_bg)
+    out, _ = _oi_points(bpoints, flat_bg, ones, points, pobs, pratios,
+                        pbackground, np.ones_like(pratios), structure,
+                        max_points, allow_extrapolation)
+    return out.reshape(background.shape) if is_grid else out
+
+
+def optimal_interpolation_full(bgrid, background, bvariance, points, obs,
+                               obs_variance, background_at_points,
+                               bvariance_at_points, structure, max_points,
+                               allow_extrapolation=True):
+    """Full OI with variances (oi.cpp:138-412).
+
+    Returns (analysis, analysis_variance).
+    """
+    if max_points < 0:
+        raise ValueError("max_points must be >= 0")
+    background = asarray_f32(background, "background")
+    bvariance = asarray_f32(bvariance, "bvariance")
+    obs = asarray_f32(obs, "obs").ravel()
+    obs_variance = asarray_f32(obs_variance, "obs_variance").ravel()
+    background_at_points = asarray_f32(background_at_points,
+                                       "background_at_points").ravel()
+    bvariance_at_points = asarray_f32(bvariance_at_points,
+                                      "bvariance_at_points").ravel()
+    if background.shape != bvariance.shape:
+        raise ValueError(
+            f"Input bvariance ({bvariance.shape}) is not the same size as "
+            f"the grid ({background.shape})")
+    _validate_oi(bgrid, background, points, obs,
+                 (obs_variance, background_at_points, bvariance_at_points),
+                 ("Obs variance", "Background", "Background variance"))
+    is_grid = isinstance(bgrid, Grid)
+    bpoints = bgrid.to_points() if is_grid else bgrid
+    out, avar = _oi_points(bpoints, background.ravel(), bvariance.ravel(),
+                           points, obs, obs_variance, background_at_points,
+                           bvariance_at_points, structure, max_points,
+                           allow_extrapolation)
+    if is_grid:
+        return out.reshape(background.shape), avar.reshape(background.shape)
+    return out, avar

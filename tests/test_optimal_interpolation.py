@@ -1,0 +1,204 @@
+"""Deterministic OI tests (ported from reference
+tests/test_optimal_interpolation.py — the behavioural spec including the
+analytic 3-point expectation and the invalid-argument sweep)."""
+import collections
+
+import numpy as np
+import pytest
+
+import gridpp_tpu as gridpp
+
+
+class TestInvalidArguments:
+    def test_sweep(self):
+        ok_args = collections.OrderedDict({
+            'grid': gridpp.Grid([[0, 0, 0]], [[0, 2500, 10000]],
+                                [[0, 0, 0]], [[0, 0, 0]], gridpp.Cartesian),
+            'background': np.zeros([1, 3]),
+            'points': gridpp.Points([0], [2500], [0], [0], gridpp.Cartesian),
+            'pobs': [1],
+            'pratios': [0.1],
+            'pbackground': [0],
+            'structure': gridpp.BarnesStructure(2500),
+            'max_points': 10,
+        })
+        x = np.zeros([3, 2])
+        invalid_args = {
+            'grid': [gridpp.Grid(x, x, x, x, gridpp.Cartesian),
+                     gridpp.Grid([[0, 0, 0]], [[0, 2500, 10000]])],
+            'points': [gridpp.Points([0, 1], [0, 2500], [0, 0], [0, 0],
+                                     gridpp.Cartesian),
+                       gridpp.Points([0], [2500])],
+            'pratios': [np.zeros(11)],
+            'pobs': [np.zeros([11])],
+            'background': [np.zeros([2, 11])],
+            'pbackground': [np.zeros(21)],
+            'max_points': [-1],
+        }
+        for key, args in invalid_args.items():
+            for arg in args:
+                args0 = ok_args.copy()
+                args0[key] = arg
+                q = [args0[f] for f in args0]
+                with pytest.raises(ValueError):
+                    gridpp.optimal_interpolation(*q)
+
+
+class TestSimple:
+    def test_simple_1d(self):
+        n = 3
+        y = [[0, 0, 0]]
+        x = [[0, 2500, 10000]]
+        grid = gridpp.Grid(y, x, y, y, gridpp.Cartesian)
+        points = gridpp.Points([0], [2500], [0], [0], gridpp.Cartesian)
+        structure = gridpp.BarnesStructure(2500)
+        background = np.zeros([1, n])
+        output = gridpp.optimal_interpolation(
+            grid, background, points, [1], [0.1], [0], structure, 10)
+        np.testing.assert_array_almost_equal(
+            output,
+            np.array([[np.exp(-0.5) / 1.1, 1 / 1.1, np.exp(-0.5 * 9) / 1.1]]),
+            decimal=5)
+
+    def test_simple_grid_full(self):
+        n = 3
+        y = [[0, 0, 0]]
+        x = [[0, 2500, 10000]]
+        grid = gridpp.Grid(y, x, y, y, gridpp.Cartesian)
+        points = gridpp.Points([0], [2500], [0], [0], gridpp.Cartesian)
+        structure = gridpp.BarnesStructure(2500)
+        output, variance = gridpp.optimal_interpolation_full(
+            grid, np.zeros([1, n]), np.ones([1, n]), points, [1], [0.1],
+            [0], [1], structure, 10)
+        assert variance[0, 1] == pytest.approx(0.1 / 1.1, abs=1e-5)
+
+    def test_simple_points_full(self):
+        n = 3
+        y = [0, 0, 0]
+        x = [0, 2500, 10000]
+        bpoints = gridpp.Points(y, x, y, y, gridpp.Cartesian)
+        points = gridpp.Points([0], [2500], [0], [0], gridpp.Cartesian)
+        structure = gridpp.BarnesStructure(2500)
+        output, variance = gridpp.optimal_interpolation_full(
+            bpoints, np.zeros(n), np.ones(n), points, np.array([1]),
+            np.array([0.1]), np.array([0]), np.array([1]), structure, 10)
+        assert variance[1] == pytest.approx(0.1 / 1.1, abs=1e-5)
+
+
+class TestSemantics:
+    def test_missing_values(self):
+        obs = np.array([1, np.nan, 2, 3, np.nan, np.nan, 4, np.nan])
+        n = len(obs)
+        y = np.arange(0, n * 1000, 1000).astype(np.float64)
+        background = np.zeros(n)
+        points = gridpp.Points(y, np.zeros(n), np.zeros(n), np.zeros(n),
+                               gridpp.Cartesian)
+        ratios = np.ones(n)
+        structure = gridpp.BarnesStructure(1000, 0)
+        analysis = gridpp.optimal_interpolation(
+            points, background, points, obs, ratios, background, structure,
+            100)
+        keep = np.where(np.isfinite(obs))[0]
+        points1 = gridpp.Points(y[keep], np.zeros(len(keep)),
+                                np.zeros(len(keep)), np.zeros(len(keep)),
+                                gridpp.Cartesian)
+        analysis1 = gridpp.optimal_interpolation(
+            points, background, points1, obs[keep], ratios[keep],
+            background[keep], structure, 100)
+        np.testing.assert_array_almost_equal(analysis, analysis1, decimal=5)
+
+    def test_extrapolation(self):
+        n = 5
+        y = np.linspace(0, 1000, n)
+        x = np.zeros(n)
+        bpoints = gridpp.Points(y, x, x, x, gridpp.Cartesian)
+        points = gridpp.Points([0, 100, 900, 1000], [0, 0, 0, 0],
+                               [0, 0, 0, 0], [0, 0, 0, 0], gridpp.Cartesian)
+        pratios = 0.1 * np.ones(4)
+        structure = gridpp.BarnesStructure(500)
+        pobs = [0, 1, 1, 0]
+        background = np.zeros(n)
+        pbackground = np.zeros(4)
+        output0 = gridpp.optimal_interpolation(
+            bpoints, background, points, pobs, pratios, pbackground,
+            structure, 10, False)
+        output1 = gridpp.optimal_interpolation(
+            bpoints, background, points, pobs, pratios, pbackground,
+            structure, 10, True)
+        assert np.max(output0) == pytest.approx(1, abs=1e-5)
+        assert np.max(output1) > 1
+        idx = np.where(output1 < 1)[0]
+        np.testing.assert_array_almost_equal(output0[idx], output1[idx],
+                                             decimal=5)
+
+    def test_no_obs(self):
+        bpoints = gridpp.Points([0], [0])
+        points = gridpp.Points([], [])
+        structure = gridpp.BarnesStructure(500)
+        background = np.zeros(1)
+        output = gridpp.optimal_interpolation(
+            bpoints, background, points, [], [], [], structure, 10)
+        np.testing.assert_almost_equal(output, background)
+
+    def test_nan_background(self):
+        # Invalid background cells are returned untouched
+        y = [[0, 0]]
+        x = [[0, 1000]]
+        grid = gridpp.Grid(y, x, y, y, gridpp.Cartesian)
+        points = gridpp.Points([0], [0], [0], [0], gridpp.Cartesian)
+        structure = gridpp.BarnesStructure(2500)
+        background = np.array([[np.nan, 0.0]], np.float32)
+        out = gridpp.optimal_interpolation(
+            grid, background, points, [1], [0.1], [0], structure, 10)
+        assert np.isnan(out[0, 0])
+        assert out[0, 1] > 0
+
+    def test_max_points_limits(self):
+        # With max_points=1 only the strongest observation is used
+        n = 3
+        y = np.array([0., 1000., 2000.])
+        bpoints = gridpp.Points(y, np.zeros(n), np.zeros(n), np.zeros(n),
+                                gridpp.Cartesian)
+        points = gridpp.Points([0., 2000.], [0, 0], [0, 0], [0, 0],
+                               gridpp.Cartesian)
+        structure = gridpp.BarnesStructure(1000)
+        background = np.zeros(n)
+        out1 = gridpp.optimal_interpolation(
+            bpoints, background, points, [1., 2.], [0.1, 0.1], [0., 0.],
+            structure, 1)
+        # Gridpoint 0 should only see obs 0: analysis = 1/1.1
+        assert out1[0] == pytest.approx(1 / 1.1, abs=1e-4)
+        assert out1[2] == pytest.approx(2 / 1.1, abs=1e-4)
+
+
+class TestCrossValidation:
+    def test_cross_validation_grid(self):
+        np.random.seed(1000)
+        y, x = np.meshgrid(np.arange(0, 3500, 500), np.arange(0, 3500, 500))
+        grid = gridpp.Grid(y, x, np.zeros(x.shape), np.zeros(x.shape),
+                           gridpp.Cartesian)
+        background = np.zeros(y.shape)
+
+        obs = np.array([10., 20., 30.])
+        x_o = np.array([1000., 2000., 3000.])
+        y_o = np.array([1000., 2000., 3000.])
+        n = len(obs)
+        points = gridpp.Points(y_o, x_o, np.zeros(n), np.zeros(n),
+                               gridpp.Cartesian)
+        background_o = gridpp.nearest(grid, points, background)
+        ratios = np.ones(n)
+        k = 0
+        ii = np.arange(n) != k
+        points_cv = gridpp.Points(y_o[ii], x_o[ii], np.zeros(n - 1),
+                                  np.zeros(n - 1), gridpp.Cartesian)
+        structure = gridpp.BarnesStructure(1000, 0)
+        structure_cv = gridpp.CrossValidation(structure, 750)
+
+        analysis = gridpp.optimal_interpolation(
+            grid, background, points_cv, obs[ii], ratios[ii],
+            background_o[ii], structure, 100)
+        analysis_cv = gridpp.optimal_interpolation(
+            points, background_o, points, obs, ratios, background_o,
+            structure_cv, 100)
+        assert gridpp.nearest(grid, points, analysis)[k] == pytest.approx(
+            analysis_cv[k], abs=1e-4)
