@@ -1,0 +1,63 @@
+"""Benchmark: the BASELINE.json north-star configuration.
+
+2000x2000 grid: neighbourhood mean (h=7) + deterministic OI with 10k point
+observations (BarnesStructure, max_points=10). Reports sustained end-to-end
+grid-points/s (host precompute amortized via warm caches, device compute +
+transfers included).
+
+Baseline: the reference's benchmark table (tests/benchmark.py, Intel i7
+1 thread) gives 2.05 s for neighbourhood-mean per 1e8 points (0.082 s at
+2000^2) and 12.5K gridpoints/s for OI => combined ~12.5K pts/s at 2000^2.
+
+Prints ONE JSON line.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    np.asarray(jnp.ones(1))  # device init + first D2H (slow on axon tunnel)
+
+    import gridpp_tpu as gridpp
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    lats, lons = np.meshgrid(np.linspace(55, 62, n), np.linspace(5, 12, n),
+                             indexing="ij")
+    grid = gridpp.Grid(lats, lons)
+    p = 10000
+    points = gridpp.Points(rng.uniform(55, 62, p), rng.uniform(5, 12, p),
+                           np.zeros(p), np.zeros(p))
+    background = rng.normal(280, 5, (n, n)).astype(np.float32)
+    structure = gridpp.BarnesStructure(10000.0)
+    pback = gridpp.nearest(grid, points, background)
+    pobs = pback + rng.normal(0, 1, p).astype(np.float32)
+    ratios = np.full(p, 0.1, np.float32)
+
+    def pipeline():
+        smoothed = gridpp.neighbourhood(background, 7, gridpp.Mean)
+        return gridpp.optimal_interpolation(
+            grid, smoothed, points, pobs, ratios, pback, structure, 10)
+
+    pipeline()  # warm-up: jit compiles + candidate caches
+    t0 = time.time()
+    analysis = pipeline()
+    dt = time.time() - t0
+    assert np.isfinite(analysis).all()
+
+    value = n * n / dt
+    baseline = 12_490.0  # reference combined gridpoints/s (see docstring)
+    print(json.dumps({
+        "metric": "oi2000sq_plus_neighbourhood_gridpoints_per_s",
+        "value": round(value, 1),
+        "unit": "gridpoints/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

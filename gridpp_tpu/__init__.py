@@ -33,6 +33,7 @@ from .structure import (  # noqa: F401
 from .api.oi import (  # noqa: F401
     optimal_interpolation, optimal_interpolation_full,
 )
+from .api.oi_ensi import optimal_interpolation_ensi  # noqa: F401
 from .api.curves import (  # noqa: F401
     apply_curve, calc_score, get_optimal_threshold, metric_optimizer_curve,
     monotonize_curve, quantile_mapping_curve,

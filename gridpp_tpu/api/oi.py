@@ -32,6 +32,79 @@ def _point_fields(xyz, elevs, lafs, idx=None):
             "laf": lafs[idx].astype(np.float64)}
 
 
+def _candidates(bpoints: Points, opts: Points, loc, max_points):
+    """Padded in-radius candidate lists (cand, mask) or None when empty.
+
+    Small problems use the exact ball query. Large grids use capped
+    k-nearest-within-radius, which returns dense numpy arrays straight
+    from the tree (the ball query would materialize millions of Python
+    lists). The cap is exact whenever rho is monotone in distance (no
+    elev/laf kernel active, the common production case); otherwise the
+    4x max_points margin makes misses unlikely.
+    """
+    n = bpoints.size()
+    loc = np.asarray(loc, np.float64)
+    n_obs = opts.size()
+    # Cache on the background points: obs networks and localization scales
+    # are static across forecast cycles, so the padded candidate arrays are
+    # reused while only obs *values* change.
+    cache = bpoints.__dict__.setdefault("_cand_cache", {})
+    key = (n_obs, hash(opts.lats.tobytes()), hash(opts.lons.tobytes()),
+           float(loc.min()) if loc.size else 0.0,
+           float(loc.max()) if loc.size else 0.0,
+           float(loc.sum()) if loc.size else 0.0, int(max_points))
+    if key in cache:
+        return cache[key]
+    obs_tree = opts.index.tree
+    bxyz = bpoints.xyz
+    if n <= 262_144:
+        if loc.size and np.all(loc == loc.ravel()[0]):
+            lists = obs_tree.query_ball_point(bxyz, r=float(loc.ravel()[0]),
+                                              workers=-1)
+        else:
+            lists = obs_tree.query_ball_point(bxyz, r=loc, workers=-1)
+        counts = np.fromiter((len(l) for l in lists), dtype=np.int64,
+                             count=len(lists))
+        kmax = int(counts.max()) if counts.size else 0
+        if kmax == 0:
+            return None
+        cand = np.zeros((n, kmax), dtype=np.int32)
+        mask = np.zeros((n, kmax), dtype=bool)
+        for i, lst in enumerate(lists):
+            c = len(lst)
+            if c:
+                cand[i, :c] = lst
+                mask[i, :c] = True
+    else:
+        k_cand = min(n_obs, max(4 * max_points, 32) if max_points > 0
+                     else n_obs)
+        rmax = float(loc.max()) if loc.size else 0.0
+        dist, cand = obs_tree.query(bxyz, k=k_cand,
+                                    distance_upper_bound=rmax, workers=-1)
+        if k_cand == 1:
+            dist = dist[:, None]
+            cand = cand[:, None]
+        mask = dist <= loc[:, None]
+        cand = np.where(mask, cand, 0).astype(np.int32)
+        if not mask.any():
+            return None
+    if len(cache) > 8:
+        cache.clear()
+    cache[key] = (cand, mask)
+    return cand, mask
+
+
+def _resolved_fields(pts: Points, structure) -> dict:
+    """Point fields with structure length scales resolved (host)."""
+    fields = _point_fields(pts.xyz, pts.elevs, pts.lafs)
+    fields["lat"] = pts.lats.astype(np.float64)
+    fields["lon"] = pts.lons.astype(np.float64)
+    fields = structure.resolve_p1_np(fields)
+    fields.pop("lat", None)
+    fields.pop("lon", None)
+    return fields
+
+
 def _oi_points(bpoints: Points, background, bvariance, points: Points,
                pobs, obs_variance, pbackground, bvariance_at_points,
                structure, max_points, allow_extrapolation):
@@ -66,66 +139,13 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     blons = bpoints.lons
     loc = structure.localization_np(blats, blons)
 
-    # Candidate query: obs within the localization radius.
-    # Small problems use the exact ball query. Large grids use capped
-    # k-nearest-within-radius, which returns dense numpy arrays straight
-    # from the tree (the ball query would materialize millions of Python
-    # lists). The cap is exact whenever rho is monotone in distance (no
-    # elev/laf kernel active, the common production case); otherwise the
-    # 4x max_points margin makes misses unlikely.
-    obs_tree = opts.index.tree
-    bxyz = bpoints.xyz
-    loc = np.asarray(loc, np.float64)
-    n_obs = opts.size()
-    if n <= 262_144:
-        if loc.size and np.all(loc == loc.ravel()[0]):
-            lists = obs_tree.query_ball_point(bxyz, r=float(loc.ravel()[0]),
-                                              workers=-1)
-        else:
-            lists = obs_tree.query_ball_point(bxyz, r=loc, workers=-1)
-        counts = np.fromiter((len(l) for l in lists), dtype=np.int64,
-                             count=len(lists))
-        kmax = int(counts.max()) if counts.size else 0
-        if kmax == 0:
-            return output, avar
-        cand = np.zeros((n, kmax), dtype=np.int32)
-        mask = np.zeros((n, kmax), dtype=bool)
-        for i, lst in enumerate(lists):
-            c = len(lst)
-            if c:
-                cand[i, :c] = lst
-                mask[i, :c] = True
-    else:
-        k_cand = min(n_obs, max(4 * max_points, 32) if max_points > 0
-                     else n_obs)
-        rmax = float(loc.max()) if loc.size else 0.0
-        dist, cand = obs_tree.query(bxyz, k=k_cand,
-                                    distance_upper_bound=rmax, workers=-1)
-        if k_cand == 1:
-            dist = dist[:, None]
-            cand = cand[:, None]
-        mask = dist <= loc[:, None]
-        cand = np.where(mask, cand, 0).astype(np.int32)
-        if not mask.any():
-            return output, avar
-
-    # Resolved p1 fields (gridpoints), incl. spatial h/v/w if needed
-    p1_all = _point_fields(bxyz, bpoints.elevs, bpoints.lafs)
-    p1_all["lat"] = blats.astype(np.float64)
-    p1_all["lon"] = blons.astype(np.float64)
-    p1_all = structure.resolve_p1_np(p1_all)
-    p1_all.pop("lat", None)
-    p1_all.pop("lon", None)
-
-    # Observation fields (with their own resolved scales for the pairwise
-    # obs-obs correlations, where each obs acts as p1)
-    o_fields = _point_fields(opts.xyz, opts.elevs, opts.lafs)
-    o_fields["lat"] = opts.lats.astype(np.float64)
-    o_fields["lon"] = opts.lons.astype(np.float64)
-    o_fields = structure.resolve_p1_np(o_fields)
-    o_fields.pop("lat", None)
-    o_fields.pop("lon", None)
-    o_fields = {k: jnp.asarray(v) for k, v in o_fields.items()}
+    res = _candidates(bpoints, opts, loc, max_points)
+    if res is None:
+        return output, avar
+    cand, mask = res
+    p1_all = _resolved_fields(bpoints, structure)
+    o_fields = {k: jnp.asarray(v)
+                for k, v in _resolved_fields(opts, structure).items()}
     j_obs = jnp.asarray(pobs_k)
     j_bg = jnp.asarray(pbg_k)
     j_ratios = jnp.asarray(pratios_k)

@@ -1,0 +1,113 @@
+"""Ensemble OI API (reference src/api/oi_ensi.cpp)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import Grid
+from ..core.points import Points
+from ..ops.oi_ensi import make_ensi_kernel
+from ._common import asarray_f32
+from .oi import _BLOCK, _candidates, _resolved_fields
+
+__all__ = ["optimal_interpolation_ensi"]
+
+
+def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
+                               pbackground, structure, max_points,
+                               allow_extrapolation=True):
+    """Ensemble OI / local ensemble transform (oi_ensi.cpp:33-568).
+
+    Grid form: background (Y, X, E), returns (Y, X, E).
+    Points form: background (P, E), returns (P, E).
+    """
+    if max_points < 0:
+        raise ValueError("max_points must be >= 0")
+    if bgrid.get_coordinate_type() != points.get_coordinate_type():
+        raise ValueError(
+            "Both background and observations points must be of same "
+            "coorindate type (lat/lon or x/y)")
+    background = asarray_f32(background, "background")
+    pobs = asarray_f32(pobs, "pobs").ravel()
+    psigmas = asarray_f32(psigmas, "psigmas").ravel()
+    pbackground = asarray_f32(pbackground, "pbackground")
+    is_grid = isinstance(bgrid, Grid)
+    if is_grid:
+        gy, gx = bgrid.size()
+        if background.ndim != 3 or background.shape[:2] != (gy, gx):
+            raise ValueError("Input field is not the same size as the grid")
+        bpoints = bgrid.to_points()
+        flat_bg = background.reshape(gy * gx, -1)
+    else:
+        bpoints = bgrid
+        if background.ndim != 2 or background.shape[0] != bgrid.size():
+            raise ValueError("Input field is not the same size as the grid")
+        flat_bg = background
+    if pobs.shape[0] != points.size():
+        raise ValueError("Observations and points exception mismatch")
+    if psigmas.shape[0] != points.size():
+        raise ValueError("Sigmas and points size mismatch")
+    if pbackground.ndim != 2 or pbackground.shape[0] != points.size():
+        raise ValueError("Background and points size mismatch")
+
+    n, n_ens = flat_bg.shape
+    output = flat_bg.copy()
+    ns = points.size()
+    if ns == 0 or n_ens == 0:
+        return output.reshape(background.shape)
+
+    # Anomaly decomposition at obs points (oi_ensi.cpp:166-178)
+    with np.errstate(invalid="ignore"):
+        y_hat = np.nanmean(np.where(np.isfinite(pbackground), pbackground,
+                                    np.nan), axis=1)
+    y_anom = np.where(np.isfinite(pbackground) & np.isfinite(y_hat[:, None]),
+                      pbackground - y_hat[:, None], pbackground)
+
+    # Valid-member screening: member valid at every gridpoint
+    # (oi_ensi.cpp:188-201)
+    valid_ens = np.nonzero(np.isfinite(flat_bg).all(axis=0))[0]
+    if valid_ens.size == 0:
+        return output.reshape(background.shape)
+
+    # Pre-filter observations with invalid values (oi_ensi.cpp:229-236
+    # checks pobs only)
+    keep = np.isfinite(pobs)
+    if not keep.any():
+        return output.reshape(background.shape)
+    kidx = np.nonzero(keep)[0]
+    opts = points.subset(kidx)
+
+    loc = structure.localization_np(bpoints.lats, bpoints.lons)
+    res = _candidates(bpoints, opts, loc, max_points)
+    if res is None:
+        return output.reshape(background.shape)
+    cand, mask = res
+
+    p1_all = _resolved_fields(bpoints, structure)
+    o_fields = {k: jnp.asarray(v)
+                for k, v in _resolved_fields(opts, structure).items()}
+    j_obs = jnp.asarray(pobs[kidx])
+    j_sig = jnp.asarray(psigmas[kidx])
+    j_yanom = jnp.asarray(y_anom[kidx][:, valid_ens])
+    j_yhat = jnp.asarray(y_hat[kidx].astype(np.float32))
+
+    kernel = make_ensi_kernel(structure, int(max_points),
+                              bool(allow_extrapolation))
+    bg_valid = flat_bg[:, valid_ens]
+    out_valid = bg_valid.copy()
+    for start in range(0, n, _BLOCK):
+        end = min(start + _BLOCK, n)
+        cand_j = jnp.asarray(cand[start:end])
+        p1 = {k: jnp.asarray(v[start:end])[:, None]
+              for k, v in p1_all.items()}
+        cand_fields = {k: jnp.take(v, cand_j, axis=0)
+                       for k, v in o_fields.items()}
+        out_b = kernel(p1, cand_fields, jnp.asarray(mask[start:end]),
+                       jnp.asarray(bg_valid[start:end]),
+                       jnp.take(j_obs, cand_j, axis=0),
+                       jnp.take(j_sig, cand_j, axis=0),
+                       jnp.take(j_yanom, cand_j, axis=0),
+                       jnp.take(j_yhat, cand_j, axis=0))
+        out_valid[start:end] = np.asarray(out_b)
+    output[:, valid_ens] = out_valid
+    return output.reshape(background.shape)

@@ -116,8 +116,16 @@ class Grid:
         return self._index
 
     def to_points(self) -> Points:
-        return Points(self.lats.ravel(), self.lons.ravel(),
-                      self.elevs.ravel(), self.lafs.ravel(), self._type)
+        # Cached: grids are immutable in practice and the flattened Points
+        # (with its spatial index and candidate caches) is reused by every
+        # OI call on the same grid.
+        cached = getattr(self, "_points_cache", None)
+        if cached is None:
+            cached = Points(self.lats.ravel(), self.lons.ravel(),
+                            self.elevs.ravel(), self.lafs.ravel(), self._type)
+            cached._index = self._index  # share the flattened index if built
+            self._points_cache = cached
+        return cached
 
     def get_point(self, y: int, x: int) -> Point:
         i = y * self.lats.shape[1] + x

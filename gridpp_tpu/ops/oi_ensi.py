@@ -1,0 +1,106 @@
+"""Ensemble OI (EnSI / local ensemble transform) device kernel.
+
+Reference src/api/oi_ensi.cpp:114-568 runs a SERIAL loop over gridpoints
+(OMP disabled due to a packaging segfault, oi_ensi.cpp:203-206), each doing
+an E x E eigendecomposition. Here blocks of gridpoints run as one batched
+XLA program: the E x E products hit the MXU and the batched `eigh`
+vectorizes, turning the reference's single-threaded bottleneck into the
+TPU's natural shape.
+
+Padding trick: invalid/padded observation slots get Rinv = 0 and zero
+innovation, which leaves C = Y^T Rinv, Pinv, and w exactly as if the slot
+were absent - no masking needed downstream.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["make_ensi_kernel"]
+
+
+def make_ensi_kernel(structure, max_points: int, allow_extrapolation: bool):
+    @jax.jit
+    def kernel(p1_fields, cand_fields, cand_valid, background,
+               obs, sigmas, y_anom, y_hat):
+        """background: (B, E) valid members; obs/sigmas: (B, K) gathered;
+        y_anom: (B, K, E) background anomalies at obs points; y_hat: (B, K).
+        """
+        b, e = background.shape
+        k = obs.shape[1]
+        s_cap = min(max_points, k) if max_points > 0 else k
+
+        rho = structure.corr_background_jnp(p1_fields, cand_fields)  # (B, K)
+        valid = cand_valid & (rho > 0)
+        neg = jnp.where(valid, rho, -jnp.inf)
+        vals, sel, = jax.lax.top_k(neg, s_cap)
+        sel_valid = jnp.isfinite(vals)
+        l_rho = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
+
+        l_obs = jnp.take_along_axis(obs, sel, axis=1)
+        l_sig = jnp.take_along_axis(sigmas, sel, axis=1)
+        l_yhat = jnp.take_along_axis(y_hat, sel, axis=1)
+        l_y = jnp.take_along_axis(y_anom, sel[:, :, None], axis=1)  # (B,S,E)
+
+        # Rinv diagonal: rho / sigma^2 (oi_ensi.cpp:296-302); zero for
+        # padded slots
+        rinv = jnp.where(sel_valid, l_rho / (l_sig * l_sig), 0.0)
+
+        # C = Y^T Rinv (E x S), Pinv = C Y + (E-1) I (oi_ensi.cpp:377-390)
+        c = jnp.swapaxes(l_y, 1, 2) * rinv[:, None, :]  # (B, E, S)
+        pinv = jnp.einsum("bes,bsf->bef", c, l_y,
+                          preferred_element_type=jnp.float32) \
+            + (e - 1) * jnp.eye(e, dtype=jnp.float32)
+        p = jnp.linalg.inv(pinv)
+
+        # W = sqrt((E-1) P) via symmetric eigendecomposition
+        # (oi_ensi.cpp:398-421)
+        eigval, eigvec = jnp.linalg.eigh((e - 1) * p)
+        sq = jnp.sqrt(jnp.maximum(eigval, 0.0))
+        w_mat = jnp.einsum("bij,bj,bkj->bik", eigvec, sq, eigvec,
+                           preferred_element_type=jnp.float32)
+
+        # Mean-update weights w = P C (obs - Yhat) (oi_ensi.cpp:429-444)
+        innov = jnp.where(sel_valid, l_obs - l_yhat, 0.0)
+        w_vec = jnp.einsum("bef,bfs,bs->be", p, c, innov,
+                           preferred_element_type=jnp.float32)
+        w_full = w_mat + w_vec[:, :, None]  # W(e,e2) += w(e)
+
+        ens_mean = jnp.mean(background, axis=1)
+        x = background - ens_mean[:, None]  # (B, E)
+        increment = jnp.einsum("bk,bke->be", x, w_full,
+                               preferred_element_type=jnp.float32)
+
+        if not allow_extrapolation:
+            # Reference quirk (oi_ensi.cpp:520-537): lY[e] is the e-th
+            # element of the column-major flattened Y matrix.
+            s = l_y.shape[1]
+            flat = jnp.reshape(jnp.swapaxes(l_y, 1, 2), (b, s * e))
+            e_idx = jnp.arange(e)
+            y_elem = flat[:, e_idx % (s * e)]  # (B, E) column-major elems
+            # column-major index e -> (row e%S, col e//S): flattened
+            # row-major of Y^T at position (e//S)*S + e%S == e
+            diff = jnp.where(sel_valid[:, :, None],
+                             (l_obs - l_yhat)[:, :, None]
+                             - y_elem[:, None, :], jnp.nan)
+            max_inc = jnp.nanmax(jnp.where(jnp.isnan(diff), -jnp.inf, diff),
+                                 axis=1)
+            min_inc = jnp.nanmin(jnp.where(jnp.isnan(diff), jnp.inf, diff),
+                                 axis=1)
+            member_inc = increment - x
+            c1 = (max_inc > 0) & (member_inc > max_inc)
+            c2 = ~c1 & (max_inc < 0) & (member_inc > 0)
+            c3 = ~c1 & ~c2 & (min_inc < 0) & (member_inc < min_inc)
+            c4 = ~c1 & ~c2 & ~c3 & (min_inc > 0) & (member_inc < 0)
+            increment = jnp.where(c1, max_inc + x,
+                                  jnp.where(c2, x,
+                                            jnp.where(c3, min_inc + x,
+                                                      jnp.where(c4, x,
+                                                                increment))))
+
+        analysis = ens_mean[:, None] + increment
+        ok = jnp.any(sel_valid, axis=1) & jnp.all(jnp.isfinite(analysis),
+                                                  axis=1)
+        return jnp.where(ok[:, None], analysis, background)
+
+    return kernel
