@@ -34,6 +34,11 @@ from .api.oi import (  # noqa: F401
     optimal_interpolation, optimal_interpolation_full,
 )
 from .api.oi_ensi import optimal_interpolation_ensi  # noqa: F401
+from .api.oi_ensi_multi import (  # noqa: F401
+    optimal_interpolation_ensi_multi_ebe,
+    optimal_interpolation_ensi_multi_ebesc,
+    optimal_interpolation_ensi_multi_utem,
+)
 from .api.curves import (  # noqa: F401
     apply_curve, calc_score, get_optimal_threshold, metric_optimizer_curve,
     monotonize_curve, quantile_mapping_curve,
@@ -41,6 +46,22 @@ from .api.curves import (  # noqa: F401
 from .api.transform import (  # noqa: F401
     BoxCox, Gamma, Identity, Log, StartedBoxCox, Transform,
 )
+from .api.diagnostics import (  # noqa: F401
+    dewpoint, gamma_inv, pressure, qnh, relative_humidity,
+    sea_level_pressure, wetbulb, wind_direction, wind_speed,
+)
+from .api.gradients import (  # noqa: F401
+    calc_gradient, full_gradient, full_gradient_debug, simple_gradient,
+)
+from .api.window_api import window  # noqa: F401
+from .api.gridding import count, distance, gridding, gridding_nearest  # noqa: F401
+from .api.fill import doping_circle, doping_square, fill, fill_missing  # noqa: F401
+from .api.masking import (  # noqa: F401
+    downscale_probability, mask_threshold_downscale_consensus,
+    mask_threshold_downscale_quantile,
+)
+from .api.search import neighbourhood_search, smart, staticcorr_points  # noqa: F401
+from .api.ldc import local_distribution_correction  # noqa: F401
 from .api.neighbourhood import (  # noqa: F401
     get_neighbourhood_thresholds, neighbourhood, neighbourhood_brute_force,
     neighbourhood_ens, neighbourhood_quantile, neighbourhood_quantile_ens,

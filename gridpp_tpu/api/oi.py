@@ -12,14 +12,14 @@ import numpy as np
 from ..constants import MV
 from ..core.grid import Grid
 from ..core.points import Points
-from ..ops.oi import make_oi_kernel
+from ..ops.oi import make_oi_dense_kernel, make_oi_kernel
 from ._common import asarray_f32
 
 __all__ = ["optimal_interpolation", "optimal_interpolation_full"]
 
 # Gridpoints per device block: bounds peak memory for the (B, S, S)
 # covariance assembly while keeping the MXU busy.
-_BLOCK = 65536
+_BLOCK = 524288
 
 
 def _point_fields(xyz, elevs, lafs, idx=None):
@@ -94,14 +94,25 @@ def _candidates(bpoints: Points, opts: Points, loc, max_points):
     return cand, mask
 
 
-def _resolved_fields(pts: Points, structure) -> dict:
-    """Point fields with structure length scales resolved (host)."""
+def _resolved_fields(pts: Points, structure, origin=None) -> dict:
+    """Point fields with structure length scales resolved (host).
+
+    When `origin` (an ECEF centroid) is given, coordinates are shifted to
+    it and cast to float32: translation leaves all chord distances
+    unchanged while restoring full f32 precision near the domain (absolute
+    ECEF values ~6.4e6 m would quantize to ~0.5 m steps in f32).
+    """
     fields = _point_fields(pts.xyz, pts.elevs, pts.lafs)
     fields["lat"] = pts.lats.astype(np.float64)
     fields["lon"] = pts.lons.astype(np.float64)
     fields = structure.resolve_p1_np(fields)
     fields.pop("lat", None)
     fields.pop("lon", None)
+    if origin is not None:
+        for i, key in enumerate(("x", "y", "z")):
+            fields[key] = (fields[key] - origin[i]).astype(np.float32)
+        for key in fields:
+            fields[key] = np.asarray(fields[key], np.float32)
     return fields
 
 
@@ -134,6 +145,16 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     pbg_k = pbackground[kidx]
     pratios_k = pratios[kidx]
 
+    # Dense device path: with a moderate observation count, evaluate rho
+    # against every observation on device (no host spatial query, no
+    # candidate arrays over the host-device link). Every structure zeroes
+    # rho beyond its localization distance, so rho>0 == the radius query.
+    if 0 < opts.size() <= 32768 and n * opts.size() > 4_000_000:
+        return _oi_points_dense(bpoints, background, bvariance, opts,
+                                pobs_k, pratios_k, pbg_k, structure,
+                                max_points, allow_extrapolation, output,
+                                avar)
+
     # Localization radii (may vary per gridpoint for spatial structures)
     blats = bpoints.lats
     blons = bpoints.lons
@@ -143,9 +164,11 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     if res is None:
         return output, avar
     cand, mask = res
-    p1_all = _resolved_fields(bpoints, structure)
+    origin = bpoints.xyz.mean(axis=0)
+    p1_all = _resolved_fields(bpoints, structure, origin)
     o_fields = {k: jnp.asarray(v)
-                for k, v in _resolved_fields(opts, structure).items()}
+                for k, v in _resolved_fields(opts, structure,
+                                             origin).items()}
     j_obs = jnp.asarray(pobs_k)
     j_bg = jnp.asarray(pbg_k)
     j_ratios = jnp.asarray(pratios_k)
@@ -153,6 +176,10 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     kernel = make_oi_kernel(structure, int(max_points),
                             bool(allow_extrapolation))
 
+    # Keep all block outputs on device; one transfer at the end (the axon
+    # tunnel pays ~0.3 s latency per device-to-host readback).
+    outs = []
+    avars = []
     block = _BLOCK
     for start in range(0, n, block):
         end = min(start + block, n)
@@ -169,8 +196,48 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
                                jnp.asarray(background[start:end]),
                                jnp.asarray(bvariance[start:end]),
                                obs_b, y_b, r_b)
-        output[start:end] = np.asarray(out_b)
-        avar[start:end] = np.asarray(avar_b)
+        outs.append(out_b)
+        avars.append(avar_b)
+    output = np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
+    avar = np.asarray(jnp.concatenate(avars) if len(avars) > 1 else avars[0])
+    return output, avar
+
+
+def _oi_points_dense(bpoints, background, bvariance, opts, pobs_k,
+                     pratios_k, pbg_k, structure, max_points,
+                     allow_extrapolation, output, avar):
+    """Fully on-device OI: only point fields and per-block p1 slices cross
+    the host-device link."""
+    n = bpoints.size()
+    p = opts.size()
+    origin = bpoints.xyz.mean(axis=0)
+    p1_all = _resolved_fields(bpoints, structure, origin)
+    o_fields = {k: jnp.asarray(v)
+                for k, v in _resolved_fields(opts, structure,
+                                             origin).items()}
+    j_obs = jnp.asarray(pobs_k)
+    j_bg = jnp.asarray(pbg_k)
+    j_ratios = jnp.asarray(pratios_k)
+    kernel = make_oi_dense_kernel(structure, int(max_points),
+                                  bool(allow_extrapolation))
+    # Block size capped so the (B, P) rho matrix stays ~<2 GB
+    block = max(8192, min(_BLOCK, (1 << 29) // max(p, 1)))
+    outs = []
+    avars = []
+    start = 0
+    while start < n:
+        end = min(start + block, n)
+        p1 = {k: jnp.asarray(v[start:end])[:, None]
+              for k, v in p1_all.items()}
+        out_b, avar_b = kernel(p1, o_fields,
+                               jnp.asarray(background[start:end]),
+                               jnp.asarray(bvariance[start:end]),
+                               j_obs, j_bg, j_ratios)
+        outs.append(out_b)
+        avars.append(avar_b)
+        start = end
+    output = np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
+    avar = np.asarray(jnp.concatenate(avars) if len(avars) > 1 else avars[0])
     return output, avar
 
 

@@ -83,9 +83,11 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
         return output.reshape(background.shape)
     cand, mask = res
 
-    p1_all = _resolved_fields(bpoints, structure)
+    origin = bpoints.xyz.mean(axis=0)
+    p1_all = _resolved_fields(bpoints, structure, origin)
     o_fields = {k: jnp.asarray(v)
-                for k, v in _resolved_fields(opts, structure).items()}
+                for k, v in _resolved_fields(opts, structure,
+                                             origin).items()}
     j_obs = jnp.asarray(pobs[kidx])
     j_sig = jnp.asarray(psigmas[kidx])
     j_yanom = jnp.asarray(y_anom[kidx][:, valid_ens])
@@ -94,7 +96,7 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
     kernel = make_ensi_kernel(structure, int(max_points),
                               bool(allow_extrapolation))
     bg_valid = flat_bg[:, valid_ens]
-    out_valid = bg_valid.copy()
+    outs = []
     for start in range(0, n, _BLOCK):
         end = min(start + _BLOCK, n)
         cand_j = jnp.asarray(cand[start:end])
@@ -108,6 +110,8 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
                        jnp.take(j_sig, cand_j, axis=0),
                        jnp.take(j_yanom, cand_j, axis=0),
                        jnp.take(j_yhat, cand_j, axis=0))
-        out_valid[start:end] = np.asarray(out_b)
+        outs.append(out_b)
+    out_valid = np.asarray(jnp.concatenate(outs) if len(outs) > 1
+                           else outs[0])
     output[:, valid_ens] = out_valid
     return output.reshape(background.shape)

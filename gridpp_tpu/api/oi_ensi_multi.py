@@ -1,0 +1,295 @@
+"""Multi-variant ensemble OI API (reference src/api/oi_ensi_multi.cpp).
+
+Grid and points forms for the ebe / ebesc / utem schemes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import Grid
+from ..ops.oi_ensi_multi import (DEFAULT_MIN_STD, make_ebe_kernel,
+                                 make_ebesc_kernel, make_utem_kernel)
+from ._common import asarray_f32
+from .oi import _BLOCK, _candidates, _resolved_fields
+
+__all__ = [
+    "optimal_interpolation_ensi_multi_ebe",
+    "optimal_interpolation_ensi_multi_ebesc",
+    "optimal_interpolation_ensi_multi_utem",
+]
+
+
+def _flatten_grid(bgrid, background, name):
+    if isinstance(bgrid, Grid):
+        gy, gx = bgrid.size()
+        if background.ndim != 3 or background.shape[:2] != (gy, gx):
+            raise ValueError(f"Input {name} field is not the same size as "
+                             "the grid")
+        return bgrid.to_points(), background.reshape(gy * gx, -1), True
+    if background.ndim != 2 or background.shape[0] != bgrid.size():
+        raise ValueError(f"Input {name} field is not the same size as the "
+                         "grid")
+    return bgrid, background, False
+
+
+def _norm_anom(arr, valid_ens):
+    """Normalized anomalies 1/sqrt(E-1)*(v-mean)/std, zeroed for tiny or
+    invalid std (oi_ensi_multi.cpp:421-445)."""
+    v = arr[:, valid_ens].astype(np.float64)
+    e = v.shape[1]
+    mean = v.mean(axis=1)
+    std = v.std(axis=1)
+    bad = ~np.isfinite(mean) | ~np.isfinite(std) | (std <= DEFAULT_MIN_STD)
+    denom = np.where(std == 0, 1, std)
+    out = (v - mean[:, None]) / denom[:, None] / np.sqrt(max(e - 1, 1))
+    out[bad] = 0.0
+    return out.astype(np.float32)
+
+
+def _common_prep(bpoints, points, structure, max_points, obs_select_valid):
+    keep = np.nonzero(obs_select_valid)[0]
+    if keep.size == 0:
+        return None
+    opts = points.subset(keep)
+    loc = structure.localization_np(bpoints.lats, bpoints.lons)
+    res = _candidates(bpoints, opts, loc, max_points)
+    if res is None:
+        return None
+    cand, mask = res
+    origin = bpoints.xyz.mean(axis=0)
+    p1_all = _resolved_fields(bpoints, structure, origin)
+    o_fields = {k: jnp.asarray(v)
+                for k, v in _resolved_fields(opts, structure,
+                                             origin).items()}
+    return keep, cand, mask, p1_all, o_fields
+
+
+def _run_blocks(kernel, n, cand, mask, p1_all, o_fields, per_block_args):
+    outs = []
+    for start in range(0, n, _BLOCK):
+        end = min(start + _BLOCK, n)
+        cand_j = jnp.asarray(cand[start:end])
+        p1 = {k: jnp.asarray(v[start:end])[:, None]
+              for k, v in p1_all.items()}
+        cand_fields = {k: jnp.take(v, cand_j, axis=0)
+                       for k, v in o_fields.items()}
+        args = per_block_args(start, end, cand_j)
+        outs.append(kernel(p1, cand_fields, jnp.asarray(mask[start:end]),
+                           *args))
+    return np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
+
+
+def _validate_multi(bpoints_obj, points, bratios, pobs, pratios,
+                    pbackground, extra=()):
+    if bpoints_obj.get_coordinate_type() != points.get_coordinate_type():
+        raise ValueError(
+            "Both background and observations points must be of same "
+            "coorindate type (lat/lon or x/y)")
+    ns = points.size()
+    if pobs.shape[0] != ns:
+        raise ValueError("Observations and points exception mismatch")
+    if pratios.shape[0] != ns:
+        raise ValueError("Pratios and points size mismatch")
+    if pbackground.shape[0] != ns:
+        raise ValueError("Background and points size mismatch")
+    for arr, name in extra:
+        if arr.shape[0] != ns:
+            raise ValueError(f"{name} and points size mismatch")
+
+
+def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
+                                         background_corr, points, pobs,
+                                         pratios, pbackground,
+                                         pbackground_corr, structure,
+                                         max_points,
+                                         allow_extrapolation=True):
+    """Member-by-member update with ensemble-derived correlations
+    (oi_ensi_multi.cpp:329-627)."""
+    if max_points < 0:
+        raise ValueError("max_points must be >= 0")
+    background = asarray_f32(background)
+    background_corr = asarray_f32(background_corr, "background_corr")
+    bratios = asarray_f32(bratios, "bratios")
+    pobs = asarray_f32(pobs, "pobs")
+    pratios = asarray_f32(pratios, "pratios").ravel()
+    pbackground = asarray_f32(pbackground, "pbackground")
+    pbackground_corr = asarray_f32(pbackground_corr, "pbackground_corr")
+    bpoints, flat_bg, is_grid = _flatten_grid(bgrid, background,
+                                              "background")
+    _, flat_bgc, _ = _flatten_grid(bgrid, background_corr,
+                                   "background_corr")
+    flat_ratios = bratios.ravel()
+    if flat_ratios.shape[0] != bpoints.size():
+        raise ValueError("Bratios and grid size mismatch")
+    _validate_multi(bpoints, points, bratios, pobs, pratios, pbackground,
+                    [(pbackground_corr, "Background_corr")])
+    n, n_ens = flat_bg.shape
+    output = flat_bg.copy()
+    if points.size() == 0 or n_ens == 0:
+        return output.reshape(background.shape)
+
+    valid_ens = np.nonzero(
+        np.isfinite(flat_bg).all(axis=0) & np.isfinite(flat_bgc).all(axis=0)
+        & np.isfinite(pbackground).all(axis=0)
+        & np.isfinite(pbackground_corr).all(axis=0))[0]
+    if valid_ens.size == 0:
+        return output.reshape(background.shape)
+
+    prep = _common_prep(bpoints, points, structure, max_points,
+                        np.isfinite(pobs[:, 0]))
+    if prep is None:
+        return output.reshape(background.shape)
+    keep, cand, mask, p1_all, o_fields = prep
+
+    z_r = _norm_anom(pbackground_corr, valid_ens)[keep]
+    x_l = _norm_anom(flat_bgc, valid_ens)
+    innov = (pobs[:, valid_ens] - pbackground[:, valid_ens])[keep]
+    j_obs = jnp.asarray(pobs[keep][:, valid_ens])
+    j_ratios = jnp.asarray(pratios[keep])
+    j_innov = jnp.asarray(innov.astype(np.float32))
+    j_zr = jnp.asarray(z_r)
+
+    kernel = make_ebe_kernel(structure, int(max_points),
+                             bool(allow_extrapolation))
+    bg_valid = flat_bg[:, valid_ens]
+
+    def per_block(start, end, cand_j):
+        return (jnp.asarray(bg_valid[start:end]),
+                jnp.asarray(flat_ratios[start:end]),
+                jnp.asarray(x_l[start:end]),
+                jnp.take(j_obs, cand_j, axis=0)[..., 0],
+                jnp.take(j_ratios, cand_j, axis=0),
+                jnp.take(j_innov, cand_j, axis=0),
+                jnp.take(j_zr, cand_j, axis=0))
+
+    out_valid = _run_blocks(kernel, n, cand, mask, p1_all, o_fields,
+                            per_block)
+    output[:, valid_ens] = out_valid
+    return output.reshape(background.shape)
+
+
+def optimal_interpolation_ensi_multi_ebesc(bgrid, bratios, background,
+                                           points, pobs, pratios,
+                                           pbackground, structure,
+                                           max_points,
+                                           allow_extrapolation=True):
+    """Member-by-member update with static correlations
+    (oi_ensi_multi.cpp:629-860)."""
+    if max_points < 0:
+        raise ValueError("max_points must be >= 0")
+    background = asarray_f32(background)
+    bratios = asarray_f32(bratios, "bratios")
+    pobs = asarray_f32(pobs, "pobs")
+    pratios = asarray_f32(pratios, "pratios").ravel()
+    pbackground = asarray_f32(pbackground, "pbackground")
+    bpoints, flat_bg, is_grid = _flatten_grid(bgrid, background,
+                                              "background")
+    flat_ratios = bratios.ravel()
+    if flat_ratios.shape[0] != bpoints.size():
+        raise ValueError("Bratios and grid size mismatch")
+    _validate_multi(bpoints, points, bratios, pobs, pratios, pbackground)
+    n, n_ens = flat_bg.shape
+    output = flat_bg.copy()
+    if points.size() == 0 or n_ens == 0:
+        return output.reshape(background.shape)
+    valid_ens = np.nonzero(np.isfinite(flat_bg).all(axis=0)
+                           & np.isfinite(pbackground).all(axis=0))[0]
+    if valid_ens.size == 0:
+        return output.reshape(background.shape)
+    prep = _common_prep(bpoints, points, structure, max_points,
+                        np.isfinite(pobs[:, 0]))
+    if prep is None:
+        return output.reshape(background.shape)
+    keep, cand, mask, p1_all, o_fields = prep
+    innov = (pobs[:, valid_ens] - pbackground[:, valid_ens])[keep]
+    j_obs = jnp.asarray(pobs[keep][:, valid_ens])
+    j_ratios = jnp.asarray(pratios[keep])
+    j_innov = jnp.asarray(innov.astype(np.float32))
+    kernel = make_ebesc_kernel(structure, int(max_points),
+                               bool(allow_extrapolation))
+    bg_valid = flat_bg[:, valid_ens]
+
+    def per_block(start, end, cand_j):
+        return (jnp.asarray(bg_valid[start:end]),
+                jnp.asarray(flat_ratios[start:end]),
+                jnp.take(j_obs, cand_j, axis=0)[..., 0],
+                jnp.take(j_ratios, cand_j, axis=0),
+                jnp.take(j_innov, cand_j, axis=0))
+
+    out_valid = _run_blocks(kernel, n, cand, mask, p1_all, o_fields,
+                            per_block)
+    output[:, valid_ens] = out_valid
+    return output.reshape(background.shape)
+
+
+def optimal_interpolation_ensi_multi_utem(bgrid, bratios, background,
+                                          background_corr, points, pobs,
+                                          pratios, pbackground,
+                                          pbackground_corr, structure,
+                                          max_points,
+                                          allow_extrapolation=True):
+    """ETKF update with correlations from a second ensemble
+    (oi_ensi_multi.cpp:862-1311)."""
+    if max_points < 0:
+        raise ValueError("max_points must be >= 0")
+    background = asarray_f32(background)
+    background_corr = asarray_f32(background_corr, "background_corr")
+    bratios = asarray_f32(bratios, "bratios")
+    pobs = asarray_f32(pobs, "pobs").ravel()
+    pratios = asarray_f32(pratios, "pratios").ravel()
+    pbackground = asarray_f32(pbackground, "pbackground")
+    pbackground_corr = asarray_f32(pbackground_corr, "pbackground_corr")
+    bpoints, flat_bg, is_grid = _flatten_grid(bgrid, background,
+                                              "background")
+    _, flat_bgc, _ = _flatten_grid(bgrid, background_corr,
+                                   "background_corr")
+    flat_ratios = bratios.ravel()
+    if flat_ratios.shape[0] != bpoints.size():
+        raise ValueError("Bratios and grid size mismatch")
+    _validate_multi(bpoints, points, bratios, pobs[:, None], pratios,
+                    pbackground, [(pbackground_corr, "Background_corr")])
+    n, n_ens = flat_bg.shape
+    output = flat_bg.copy()
+    if points.size() == 0 or n_ens == 0:
+        return output.reshape(background.shape)
+    valid_ens = np.nonzero(
+        np.isfinite(flat_bg).all(axis=0) & np.isfinite(flat_bgc).all(axis=0)
+        & np.isfinite(pbackground).all(axis=0)
+        & np.isfinite(pbackground_corr).all(axis=0))[0]
+    if valid_ens.size == 0:
+        return output.reshape(background.shape)
+    prep = _common_prep(bpoints, points, structure, max_points,
+                        np.isfinite(pobs))
+    if prep is None:
+        return output.reshape(background.shape)
+    keep, cand, mask, p1_all, o_fields = prep
+
+    pv = pbackground[:, valid_ens].astype(np.float64)
+    y_hat = pv.mean(axis=1)
+    y_anom = np.where(np.isfinite(y_hat)[:, None], pv - y_hat[:, None], 0)
+    y_corr = _norm_anom(pbackground_corr, valid_ens)
+    j_obs = jnp.asarray(pobs[keep])
+    j_ratios = jnp.asarray(pratios[keep])
+    j_yanom = jnp.asarray(y_anom[keep].astype(np.float32))
+    j_ycorr = jnp.asarray(y_corr[keep])
+    j_yhat = jnp.asarray(y_hat[keep].astype(np.float32))
+    kernel = make_utem_kernel(structure, int(max_points),
+                              bool(allow_extrapolation))
+    bg_valid = flat_bg[:, valid_ens]
+    bgc_valid = flat_bgc[:, valid_ens]
+
+    def per_block(start, end, cand_j):
+        return (jnp.asarray(bg_valid[start:end]),
+                jnp.asarray(bgc_valid[start:end]),
+                jnp.asarray(flat_ratios[start:end]),
+                jnp.take(j_obs, cand_j, axis=0),
+                jnp.take(j_ratios, cand_j, axis=0),
+                jnp.take(j_yanom, cand_j, axis=0),
+                jnp.take(j_ycorr, cand_j, axis=0),
+                jnp.take(j_yhat, cand_j, axis=0))
+
+    out_valid = _run_blocks(kernel, n, cand, mask, p1_all, o_fields,
+                            per_block)
+    output[:, valid_ens] = out_valid
+    return output.reshape(background.shape)

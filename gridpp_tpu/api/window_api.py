@@ -1,0 +1,31 @@
+"""window API wrapper (reference src/api/window.cpp)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.window import window as window_op
+from ._common import asarray_f32
+
+__all__ = ["window"]
+
+
+def window(array, length, statistic, before=False, keep_missing=False,
+           missing_edges=True):
+    """Running statistic along time for each case row (window.cpp:6-156).
+
+    array: (Case, Time). Centered windows require odd length unless
+    `before` (trailing window) is set.
+    """
+    if length <= 0:
+        raise ValueError("Length variable must be > 0")
+    array = asarray_f32(array)
+    if array.ndim != 2:
+        raise ValueError("array must be 2D")
+    if array.size == 0:
+        return np.zeros(array.shape, np.float32)
+    if length % 2 == 0 and not before:
+        raise ValueError("Length variable must be an odd number")
+    out = window_op(jnp.asarray(array), int(length), int(statistic),
+                    bool(before), bool(keep_missing), bool(missing_edges))
+    return np.asarray(out)

@@ -2,21 +2,30 @@
 
 TPU-native redesign of reference src/api/oi.cpp: the reference loops over
 gridpoints, querying an R-tree and solving a small dense system per point
-(oi.cpp:221-341). Here the spatial search is a host precompute (padded
-candidate lists) and the per-gridpoint work — structure-function rho
+(oi.cpp:221-341). Here the per-gridpoint work — structure-function rho
 evaluation, top-max_points selection, S x S covariance assembly, solve,
 increment clamping — is one fused batched XLA program over blocks of
 gridpoints: rho on the VPU, the batched solve on the MXU.
+
+Two selection modes:
+- `oi_block`: candidates come from a host spatial query (padded lists) —
+  used when the observation set is too large to sweep densely.
+- `oi_block_dense`: FULLY on-device selection. For moderate observation
+  counts the kernel evaluates rho against every observation and takes the
+  top max_points directly. Since every structure function already zeroes
+  rho beyond its localization distance, `rho > 0` reproduces the
+  reference's radius query exactly — and no candidate arrays ever cross
+  the host-device link (which on tunneled setups costs more than the
+  entire solve).
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["oi_block", "make_oi_kernel"]
+__all__ = ["oi_block", "oi_block_dense", "make_oi_kernel",
+           "make_oi_dense_kernel"]
 
 
 def _select_top(rho, valid, s_cap: int):
@@ -27,42 +36,12 @@ def _select_top(rho, valid, s_cap: int):
     return vals, sel, sel_valid
 
 
-def _gather(field, cand_idx, sel):
-    """field: (P,), cand_idx: (B,K), sel: (B,S) -> (B,S)."""
-    g = jnp.take(field, cand_idx, axis=0)  # (B, K)
-    return jnp.take_along_axis(g, sel, axis=1)
-
-
-def oi_block(structure, p1_fields, cand_fields, cand_rho_valid,
-             background, bvariance, obs, obs_y, ratios,
-             max_points: int, allow_extrapolation: bool):
-    """Solve OI for a block of gridpoints.
-
-    p1_fields: dict of (B, 1) arrays (x,y,z,elev,laf[,h,v,w]).
-    cand_fields: dict of (B, K) arrays for candidate observations, plus
-    obs/obs_y/ratios (B, K). cand_rho_valid: (B, K) mask of candidates in
-    range with valid obs values.
-    Returns (increment, a) with a = lGSR * lG^T (for analysis variance).
-    """
-    k = obs.shape[1]
-    s_cap = min(max_points, k) if max_points > 0 else k
-
-    rho = structure.corr_background_jnp(p1_fields, cand_fields)  # (B, K)
-    valid = cand_rho_valid & (rho > 0)
-
-    vals, sel, sel_valid = _select_top(rho, valid, s_cap)
-    lg = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)  # (B, S)
-
-    sel_f = {key: jnp.take_along_axis(cand_fields[key], sel, axis=1)
-             for key in cand_fields}
-    l_obs = jnp.take_along_axis(obs, sel, axis=1)
-    l_y = jnp.take_along_axis(obs_y, sel, axis=1)
-    l_r = jnp.take_along_axis(ratios, sel, axis=1)
-
-    # Pairwise obs-obs correlations (B, S, S); p1 = obs i needs its own
-    # resolved length scales, which the API layer includes in cand_fields.
-    pi = {key: v[:, :, None] for key, v in sel_f.items()}
-    pj = {key: v[:, None, :] for key, v in sel_f.items()}
+def _solve_selected(structure, sel_fields, lg, sel_valid, l_obs, l_y, l_r,
+                    background, bvariance, allow_extrapolation: bool):
+    """Shared OI tail: S x S assembly, solve, clamp (oi.cpp:289-341)."""
+    s_cap = lg.shape[1]
+    pi = {key: v[:, :, None] for key, v in sel_fields.items()}
+    pj = {key: v[:, None, :] for key, v in sel_fields.items()}
     lp = structure.corr_jnp(pi, pj).astype(jnp.float32)  # (B, S, S)
 
     pair_valid = sel_valid[:, :, None] & sel_valid[:, None, :]
@@ -96,12 +75,99 @@ def oi_block(structure, p1_fields, cand_fields, cand_rho_valid,
     return out, avar
 
 
+def oi_block(structure, p1_fields, cand_fields, cand_rho_valid,
+             background, bvariance, obs, obs_y, ratios,
+             max_points: int, allow_extrapolation: bool):
+    """Solve OI for a block of gridpoints with host-provided candidates.
+
+    p1_fields: dict of (B, 1) arrays (x,y,z,elev,laf[,h,v,w]).
+    cand_fields: dict of (B, K) arrays for candidate observations, plus
+    obs/obs_y/ratios (B, K). cand_rho_valid: (B, K) mask of candidates in
+    range with valid obs values.
+    """
+    k = obs.shape[1]
+    s_cap = min(max_points, k) if max_points > 0 else k
+
+    rho = structure.corr_background_jnp(p1_fields, cand_fields)  # (B, K)
+    valid = cand_rho_valid & (rho > 0)
+
+    vals, sel, sel_valid = _select_top(rho, valid, s_cap)
+    lg = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)  # (B, S)
+
+    sel_fields = {key: jnp.take_along_axis(cand_fields[key], sel, axis=1)
+                  for key in cand_fields}
+    l_obs = jnp.take_along_axis(obs, sel, axis=1)
+    l_y = jnp.take_along_axis(obs_y, sel, axis=1)
+    l_r = jnp.take_along_axis(ratios, sel, axis=1)
+    return _solve_selected(structure, sel_fields, lg, sel_valid, l_obs,
+                           l_y, l_r, background, bvariance,
+                           allow_extrapolation)
+
+
+def oi_block_dense(structure, p1_fields, obs_fields, background, bvariance,
+                   obs, obs_y, ratios, max_points: int,
+                   allow_extrapolation: bool):
+    """Fully on-device OI: rho against ALL observations, then top-k.
+
+    p1_fields: dict of (B, 1) arrays; obs_fields: dict of (P,) arrays;
+    obs/obs_y/ratios: (P,).
+    """
+    p = obs.shape[0]
+    s_cap = min(max_points, p) if max_points > 0 else p
+    o2 = {key: v[None, :] for key, v in obs_fields.items()}
+    rho = structure.corr_background_jnp(p1_fields, o2)  # (B, P)
+    valid = rho > 0  # localization is already inside rho
+
+    vals, sel, sel_valid = _select_top(rho, valid, s_cap)
+    lg = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
+
+    sel_fields = {key: jnp.take(obs_fields[key], sel, axis=0)
+                  for key in obs_fields}
+    l_obs = jnp.take(obs, sel, axis=0)
+    l_y = jnp.take(obs_y, sel, axis=0)
+    l_r = jnp.take(ratios, sel, axis=0)
+    return _solve_selected(structure, sel_fields, lg, sel_valid, l_obs,
+                           l_y, l_r, background, bvariance,
+                           allow_extrapolation)
+
+
+def _kernel_cache(structure, name, key):
+    cache = structure.__dict__.setdefault(name, {})
+    return cache, cache.get(key)
+
+
 def make_oi_kernel(structure, max_points: int, allow_extrapolation: bool):
-    """jit-compiled OI block solver bound to a structure instance."""
+    """jit-compiled host-candidate OI block solver (cached per structure)."""
+    cache, hit = _kernel_cache(structure, "_oi_kernel_cache",
+                               (int(max_points), bool(allow_extrapolation)))
+    if hit is not None:
+        return hit
+
     @jax.jit
     def kernel(p1_fields, cand_fields, cand_rho_valid, background,
                bvariance, obs, obs_y, ratios):
         return oi_block(structure, p1_fields, cand_fields, cand_rho_valid,
                         background, bvariance, obs, obs_y, ratios,
                         max_points, allow_extrapolation)
+
+    cache[(int(max_points), bool(allow_extrapolation))] = kernel
+    return kernel
+
+
+def make_oi_dense_kernel(structure, max_points: int,
+                         allow_extrapolation: bool):
+    """jit-compiled dense (all-obs on device) OI block solver."""
+    cache, hit = _kernel_cache(structure, "_oi_dense_kernel_cache",
+                               (int(max_points), bool(allow_extrapolation)))
+    if hit is not None:
+        return hit
+
+    @jax.jit
+    def kernel(p1_fields, obs_fields, background, bvariance, obs, obs_y,
+               ratios):
+        return oi_block_dense(structure, p1_fields, obs_fields, background,
+                              bvariance, obs, obs_y, ratios, max_points,
+                              allow_extrapolation)
+
+    cache[(int(max_points), bool(allow_extrapolation))] = kernel
     return kernel

@@ -20,6 +20,11 @@ __all__ = ["make_ensi_kernel"]
 
 
 def make_ensi_kernel(structure, max_points: int, allow_extrapolation: bool):
+    cache = structure.__dict__.setdefault("_ensi_kernel_cache", {})
+    key = (int(max_points), bool(allow_extrapolation))
+    if key in cache:
+        return cache[key]
+
     @jax.jit
     def kernel(p1_fields, cand_fields, cand_valid, background,
                obs, sigmas, y_anom, y_hat):
@@ -103,4 +108,5 @@ def make_ensi_kernel(structure, max_points: int, allow_extrapolation: bool):
                                                   axis=1)
         return jnp.where(ok[:, None], analysis, background)
 
+    cache[key] = kernel
     return kernel

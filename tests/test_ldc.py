@@ -1,0 +1,81 @@
+"""local_distribution_correction tests (semantics from reference
+local_distribution_correction.cpp and tests/test_local_distribution_correction.py)."""
+import numpy as np
+import pytest
+
+import gridpp_tpu as gridpp
+
+
+def make_setup(bg_value=2.0, n=5):
+    y, x = np.meshgrid(np.arange(n) * 1000.0, np.arange(n) * 1000.0,
+                       indexing="ij")
+    grid = gridpp.Grid(y, x, 0 * y, 0 * y, gridpp.Cartesian)
+    background = np.full((n, n), bg_value, np.float32)
+    points = gridpp.Points([2000.0, 2500.0, 1500.0], [2000.0, 2500.0, 1500.0],
+                           [0, 0, 0], [0, 0, 0], gridpp.Cartesian)
+    return grid, background, points
+
+
+class TestLDC:
+    def test_no_obs_in_range(self):
+        grid, background, points = make_setup()
+        structure = gridpp.BarnesStructure(100.0)  # tiny radius
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [1.0, 1.0, 1.0], [1.0, 1.0, 1.0],
+            structure, 0.1, 0.9, 1)
+        np.testing.assert_array_almost_equal(out, background)
+
+    def test_zero_background_stays_zero(self):
+        grid, background, points = make_setup(bg_value=0.0)
+        structure = gridpp.BarnesStructure(5000.0)
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [2.0, 3.0, 4.0], [1.0, 2.0, 3.0],
+            structure, 0.0, 1.0, 1)
+        # background < 0.01 -> 0 (rule 1)
+        np.testing.assert_array_almost_equal(out, background)
+
+    def test_above_curve_bias_preserved(self):
+        grid, background, points = make_setup(bg_value=10.0)
+        structure = gridpp.BarnesStructure(50000.0)
+        # obs systematically 1 higher than fcst; bg above the curve end
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [3.0, 4.0, 5.0], [2.0, 3.0, 4.0],
+            structure, 0.0, 1.0, 1)
+        np.testing.assert_allclose(out, 11.0, atol=1e-4)
+
+    def test_no_obs_rain(self):
+        grid, background, points = make_setup(bg_value=0.05)
+        structure = gridpp.BarnesStructure(50000.0)
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+            structure, 0.0, 1.0, 1)
+        # ref_last == 0, bg < 0.1 -> 0 (rule 2b)
+        np.testing.assert_array_almost_equal(out, np.zeros_like(background))
+
+    def test_within_curve_maps_toward_obs(self):
+        grid, background, points = make_setup(bg_value=2.5)
+        structure = gridpp.BarnesStructure(50000.0)
+        # fcst curve [1, 2, 4]; obs curve [2, 4, 8] (double bias)
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [2.0, 4.0, 8.0], [1.0, 2.0, 4.0],
+            structure, 0.0, 1.0, 1)
+        # mapped value is above the raw background (obs wetter), blended
+        assert np.all(out > 2.5)
+
+    def test_size_mismatch(self):
+        grid, background, points = make_setup()
+        structure = gridpp.BarnesStructure(5000.0)
+        with pytest.raises(ValueError):
+            gridpp.local_distribution_correction(
+                grid, background, points, [[1.0, 1.0, 1.0]],
+                [[1.0, 1.0]], structure, 0.1, 0.9, 1)
+
+    def test_multi_time(self):
+        grid, background, points = make_setup(bg_value=2.5)
+        structure = gridpp.BarnesStructure(50000.0)
+        pobs = np.array([[2.0, 4.0, 8.0], [3.0, 5.0, 7.0]], np.float32)
+        pbg = np.array([[1.0, 2.0, 4.0], [1.5, 2.5, 3.5]], np.float32)
+        out = gridpp.local_distribution_correction(
+            grid, background, points, pobs, pbg, structure, 0.0, 1.0, 1)
+        assert out.shape == background.shape
+        assert np.isfinite(out).all()

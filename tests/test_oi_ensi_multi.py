@@ -1,0 +1,109 @@
+"""Tests for the ensi_multi variants (semantics from oi_ensi_multi.cpp)."""
+import numpy as np
+import pytest
+
+import gridpp_tpu as gridpp
+
+
+def setup(n=7, e=6, seed=0):
+    rng = np.random.default_rng(seed)
+    y = np.arange(n) * 1000.0
+    bpoints = gridpp.Points(y, np.zeros(n), np.zeros(n), np.zeros(n),
+                            gridpp.Cartesian)
+    points = gridpp.Points([2000.0, 4000.0], [0, 0], [0, 0], [0, 0],
+                           gridpp.Cartesian)
+    structure = gridpp.BarnesStructure(1500.0)
+    background = rng.normal(0, 1, (n, e)).astype(np.float32)
+    bg_corr = background + rng.normal(0, 0.3, (n, e)).astype(np.float32)
+    bratios = np.ones(n, np.float32)
+    pback = np.stack([background[2], background[4]]).astype(np.float32)
+    pback_corr = np.stack([bg_corr[2], bg_corr[4]]).astype(np.float32)
+    pratios = np.full(2, 0.1, np.float32)
+    return (bpoints, points, structure, background, bg_corr, bratios,
+            pback, pback_corr, pratios)
+
+
+class TestEbe:
+    def test_updates_toward_obs(self):
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        pobs = pback + 2.0  # per-member obs above background
+        out = gridpp.optimal_interpolation_ensi_multi_ebe(
+            bpoints, bratios, background, bg_corr, points, pobs, pratios,
+            pback, pback_corr, structure, 10)
+        assert out.shape == background.shape
+        # increments positive at observed gridpoints
+        assert np.mean(out[2] - background[2]) > 0
+        # far point (y=6000, >loc radius ~5470? Barnes(1500)->5468) small
+        assert np.isfinite(out).all()
+
+    def test_no_obs(self):
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        empty = gridpp.Points([], [], type=gridpp.Cartesian)
+        out = gridpp.optimal_interpolation_ensi_multi_ebe(
+            bpoints, bratios, background, bg_corr, empty,
+            np.zeros((0, 6)), np.zeros(0), np.zeros((0, 6)),
+            np.zeros((0, 6)), structure, 10)
+        np.testing.assert_array_equal(out, background)
+
+    def test_invalid_args(self):
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        with pytest.raises(ValueError):
+            gridpp.optimal_interpolation_ensi_multi_ebe(
+                bpoints, bratios, background, bg_corr, points,
+                np.zeros((3, 6)), pratios, pback, pback_corr, structure, 10)
+        with pytest.raises(ValueError):
+            gridpp.optimal_interpolation_ensi_multi_ebe(
+                bpoints, bratios[:-1], background, bg_corr, points,
+                pback, pratios, pback, pback_corr, structure, 10)
+
+
+class TestEbesc:
+    def test_matches_deterministic_shape(self):
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        pobs = pback + 1.0
+        out = gridpp.optimal_interpolation_ensi_multi_ebesc(
+            bpoints, bratios, background, points, pobs, pratios, pback,
+            structure, 10)
+        assert out.shape == background.shape
+        assert np.mean(out[2] - background[2]) > 0
+
+    def test_ebesc_matches_oi_per_member(self):
+        """With static correlations, each member's update equals the
+        deterministic OI increment for that member's innovations."""
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        pobs = pback + np.array([[1.0], [2.0]], np.float32)
+        out = gridpp.optimal_interpolation_ensi_multi_ebesc(
+            bpoints, bratios, background, points, pobs, pratios, pback,
+            structure, 10)
+        for e in range(background.shape[1]):
+            det = gridpp.optimal_interpolation(
+                bpoints, background[:, e], points, pobs[:, e], pratios,
+                pback[:, e], structure, 10)
+            np.testing.assert_allclose(out[:, e], det, atol=1e-4)
+
+
+class TestUtem:
+    def test_runs_and_updates(self):
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        pobs = np.array([2.0, 1.0], np.float32)
+        out = gridpp.optimal_interpolation_ensi_multi_utem(
+            bpoints, bratios, background, bg_corr, points, pobs, pratios,
+            pback, pback_corr, structure, 10)
+        assert out.shape == background.shape
+        assert np.isfinite(out).all()
+        assert not np.allclose(out[2], background[2])
+
+    def test_no_obs(self):
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        empty = gridpp.Points([], [], type=gridpp.Cartesian)
+        out = gridpp.optimal_interpolation_ensi_multi_utem(
+            bpoints, bratios, background, bg_corr, empty, np.zeros(0),
+            np.zeros(0), np.zeros((0, 6)), np.zeros((0, 6)), structure, 10)
+        np.testing.assert_array_equal(out, background)

@@ -202,3 +202,63 @@ class TestCrossValidation:
             structure_cv, 100)
         assert gridpp.nearest(grid, points, analysis)[k] == pytest.approx(
             analysis_cv[k], abs=1e-4)
+
+
+class TestDensePath:
+    def test_dense_matches_host_candidates(self, monkeypatch):
+        """The fully-on-device selection must match the host spatial-query
+        path exactly."""
+        import gridpp_tpu.api.oi as oi_api
+        rng = np.random.default_rng(5)
+        n = 9000
+        y = rng.uniform(0, 200_000.0, n)
+        x = rng.uniform(0, 200_000.0, n)
+        bpoints = gridpp.Points(y, x, np.zeros(n), np.zeros(n),
+                                gridpp.Cartesian)
+        p = 600
+        points = gridpp.Points(rng.uniform(0, 200_000.0, p),
+                               rng.uniform(0, 200_000.0, p),
+                               np.zeros(p), np.zeros(p), gridpp.Cartesian)
+        structure = gridpp.BarnesStructure(5000.0)
+        background = rng.normal(0, 1, n).astype(np.float32)
+        pback = rng.normal(0, 1, p).astype(np.float32)
+        pobs = pback + rng.normal(0, 0.5, p).astype(np.float32)
+        ratios = np.full(p, 0.1, np.float32)
+
+        # n * p = 5.4M > 4M -> dense path used
+        out_dense = gridpp.optimal_interpolation(
+            bpoints, background, points, pobs, ratios, pback, structure, 10)
+
+        # Force the host-candidate path
+        real = oi_api._oi_points_dense
+        monkeypatch.setattr(oi_api, "_oi_points_dense",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                AssertionError("should not be called")))
+        monkeypatch.setattr(oi_api, "_BLOCK", oi_api._BLOCK)
+        # temporarily raise the dense threshold by monkeypatching the size
+        # check: easiest is to call with a points subset > 32768? Instead
+        # patch _oi_points_dense back and compare through the public API by
+        # shrinking n*p below the threshold per-call is not possible, so
+        # drive the internal host path directly:
+        monkeypatch.setattr(oi_api, "_oi_points_dense", real)
+        from gridpp_tpu.api.oi import _candidates, _resolved_fields
+        from gridpp_tpu.ops.oi import make_oi_kernel
+        import jax.numpy as jnp
+        loc = structure.localization_np(bpoints.lats, bpoints.lons)
+        cand, mask = _candidates(bpoints, points, loc, 10)
+        origin = bpoints.xyz.mean(axis=0)
+        p1_all = _resolved_fields(bpoints, structure, origin)
+        o_fields = {k: jnp.asarray(v) for k, v in _resolved_fields(
+            points, structure, origin).items()}
+        cand_j = jnp.asarray(cand)
+        kern = make_oi_kernel(structure, 10, True)
+        out_host, _ = kern(
+            {k: jnp.asarray(v)[:, None] for k, v in p1_all.items()},
+            {k: jnp.take(v, cand_j, axis=0) for k, v in o_fields.items()},
+            jnp.asarray(mask), jnp.asarray(background),
+            jnp.ones(n, np.float32),
+            jnp.take(jnp.asarray(pobs), cand_j, axis=0),
+            jnp.take(jnp.asarray(pback), cand_j, axis=0),
+            jnp.take(jnp.asarray(ratios), cand_j, axis=0))
+        np.testing.assert_allclose(out_dense, np.asarray(out_host),
+                                   atol=2e-5)
