@@ -62,6 +62,12 @@ from .api.masking import (  # noqa: F401
 )
 from .api.search import neighbourhood_search, smart, staticcorr_points  # noqa: F401
 from .api.ldc import local_distribution_correction  # noqa: F401
+from .api.verif import (  # noqa: F401
+    neighbourhood_score, test_ivec2_output, test_ivec3_output,
+    test_ivec_input, test_ivec_output, test_not_implemented_exception,
+    test_vec2_argout, test_vec2_input, test_vec2_output, test_vec3_input,
+    test_vec3_output, test_vec_argout, test_vec_input, test_vec_output,
+)
 from .api.neighbourhood import (  # noqa: F401
     get_neighbourhood_thresholds, neighbourhood, neighbourhood_brute_force,
     neighbourhood_ens, neighbourhood_quantile, neighbourhood_quantile_ens,

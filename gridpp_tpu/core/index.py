@@ -38,6 +38,8 @@ class SpatialIndex:
         x, y, z = convert_coordinates_np(lats, lons, coordinate_type)
         self.xyz = np.stack([x, y, z], axis=-1)
         self._tree = None
+        self._native = None
+        self._native_tried = False
 
     @property
     def tree(self) -> cKDTree:
@@ -55,9 +57,25 @@ class SpatialIndex:
         return np.stack([np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)],
                         axis=-1)
 
+    @property
+    def native(self):
+        """The C++ cell-hash engine, or None (scipy fallback)."""
+        if not self._native_tried:
+            self._native_tried = True
+            if self.xyz.shape[0] > 0:
+                try:
+                    from ..native import NativeIndex
+                    self._native = NativeIndex(self.xyz)
+                except Exception:
+                    self._native = None
+        return self._native
+
     def nearest(self, qlats, qlons) -> np.ndarray:
         """Index of the nearest point for each query (kdtree.cpp:104-106)."""
         q = self._query_xyz(qlats, qlons)
+        native = self.native
+        if native is not None:
+            return native.nearest(q)
         _, idx = self.tree.query(q, k=1, workers=-1)
         return np.atleast_1d(idx).astype(np.int32)
 
@@ -70,12 +88,16 @@ class SpatialIndex:
         q = self._query_xyz(qlats, qlons)
         n_avail = len(self)
         kq = min(k + (0 if include_match else 1), n_avail)
-        dist, idx = self.tree.query(q, k=kq, workers=-1)
+        native = self.native
+        if native is not None:
+            idx, dist = native.knearest(q, kq)
+        else:
+            dist, idx = self.tree.query(q, k=kq, workers=-1)
         dist = np.atleast_2d(dist)
         idx = np.atleast_2d(idx)
         if not include_match:
             # Drop entries at chord distance exactly 0 (kdtree.cpp:88-92)
-            keep = dist != 0
+            keep = (dist != 0) & np.isfinite(dist)
             out_idx = np.full((q.shape[0], k), -1, dtype=np.int64)
             out_dist = np.full((q.shape[0], k), np.inf)
             for i in range(q.shape[0]):
@@ -107,6 +129,9 @@ class SpatialIndex:
     def radius_counts(self, qlats, qlons, radius: float) -> np.ndarray:
         """Number of points within chord radius of each query."""
         q = self._query_xyz(qlats, qlons)
+        native = self.native
+        if native is not None:
+            return native.radius_count(q, float(radius))
         return np.asarray(
             self.tree.query_ball_point(q, r=float(radius), workers=-1,
                                        return_length=True),

@@ -303,3 +303,46 @@ class TestStaticCorr:
         assert out[0, 0] == pytest.approx(1.0, abs=1e-6)
         assert out[0, 1] == pytest.approx(np.exp(-2), abs=1e-5)
         assert out[1, 0] == pytest.approx(np.exp(-0.5), abs=1e-6)
+
+
+class TestNeighbourhoodScore:
+    def test_perfect_forecast(self):
+        y, x = np.meshgrid(np.arange(5) * 1000.0, np.arange(5) * 1000.0,
+                           indexing="ij")
+        grid = gridpp.Grid(y, x, type=gridpp.Cartesian)
+        # obs at every grid point matching the forecast
+        points = grid.to_points()
+        fcst = np.zeros((5, 5), np.float32)
+        fcst[2:, :] = 2.0
+        ref = fcst.ravel()
+        out = gridpp.neighbourhood_score(grid, points, fcst, ref, 1,
+                                         gridpp.Ts, 1.0)
+        # Perfect forecast -> TS = 1 wherever events exist in the window
+        assert out.shape == (5, 5)
+        assert np.nanmax(out) == pytest.approx(1.0)
+
+    def test_validation(self):
+        y, x = np.meshgrid(np.arange(3) * 1000.0, np.arange(3) * 1000.0,
+                           indexing="ij")
+        grid = gridpp.Grid(y, x, type=gridpp.Cartesian)
+        points = grid.to_points()
+        with pytest.raises(ValueError):
+            gridpp.neighbourhood_score(grid, points, np.zeros((3, 3)),
+                                       np.zeros(9), 0, gridpp.Ts, 1.0)
+
+
+class TestSwigParity:
+    def test_inputs(self):
+        assert gridpp.test_vec_input([1, 2, 3]) == 6
+        assert gridpp.test_ivec_input([1, 2, 3]) == 6
+        assert gridpp.test_vec2_input(np.ones((2, 2))) == 4
+        assert gridpp.test_vec3_input(np.ones((2, 2, 2))) == 8
+
+    def test_outputs(self):
+        assert gridpp.test_vec_output().shape == (3,)
+        assert (gridpp.test_vec2_output() == -1).all()
+        assert gridpp.test_ivec3_output().shape == (3, 3, 3)
+        val, arr = gridpp.test_vec_argout()
+        assert arr.shape == (10,)
+        with pytest.raises(NotImplementedError):
+            gridpp.test_not_implemented_exception()
