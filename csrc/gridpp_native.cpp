@@ -80,6 +80,49 @@ void parallel_for(int64_t n, const std::function<void(int64_t, int64_t)>& fn) {
     for (auto& th : threads) th.join();
 }
 
+// Chebyshev distance from a cell to the occupied box (0 when inside)
+inline int64_t box_cheb(const Index& idx, int64_t cx, int64_t cy,
+                        int64_t cz) {
+    int64_t d = 0;
+    int64_t c[3] = {cx, cy, cz};
+    for (int dd = 0; dd < 3; dd++) {
+        if (c[dd] < idx.c0[dd]) d = std::max(d, idx.c0[dd] - c[dd]);
+        if (c[dd] > idx.c1[dd]) d = std::max(d, c[dd] - idx.c1[dd]);
+    }
+    return d;
+}
+
+inline int64_t box_cheb_max(const Index& idx, int64_t cx, int64_t cy,
+                            int64_t cz) {
+    int64_t d = 0;
+    int64_t c[3] = {cx, cy, cz};
+    for (int dd = 0; dd < 3; dd++) {
+        d = std::max(d, std::abs(c[dd] - idx.c0[dd]));
+        d = std::max(d, std::abs(c[dd] - idx.c1[dd]));
+    }
+    return d;
+}
+
+// Visit every cell on the shell at Chebyshev radius r, clamped to the
+// occupied box.
+template <class F>
+inline void for_shell(const Index& idx, int64_t cx, int64_t cy, int64_t cz,
+                      int64_t r, F&& visit) {
+    int64_t x0 = std::max(cx - r, idx.c0[0]), x1 = std::min(cx + r, idx.c1[0]);
+    int64_t y0 = std::max(cy - r, idx.c0[1]), y1 = std::min(cy + r, idx.c1[1]);
+    int64_t z0 = std::max(cz - r, idx.c0[2]), z1 = std::min(cz + r, idx.c1[2]);
+    for (int64_t ix = x0; ix <= x1; ix++) {
+        for (int64_t iy = y0; iy <= y1; iy++) {
+            for (int64_t iz = z0; iz <= z1; iz++) {
+                if (std::max({std::abs(ix - cx), std::abs(iy - cy),
+                              std::abs(iz - cz)}) != r)
+                    continue;
+                visit(ix, iy, iz);
+            }
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -171,49 +214,6 @@ static inline void scan_cell(const Index& idx, int64_t ix, int64_t iy,
         if (d < best) {
             best = d;
             best_i = i;
-        }
-    }
-}
-
-// Chebyshev distance from a cell to the occupied box (0 when inside)
-static inline int64_t box_cheb(const Index& idx, int64_t cx, int64_t cy,
-                               int64_t cz) {
-    int64_t d = 0;
-    int64_t c[3] = {cx, cy, cz};
-    for (int dd = 0; dd < 3; dd++) {
-        if (c[dd] < idx.c0[dd]) d = std::max(d, idx.c0[dd] - c[dd]);
-        if (c[dd] > idx.c1[dd]) d = std::max(d, c[dd] - idx.c1[dd]);
-    }
-    return d;
-}
-
-static inline int64_t box_cheb_max(const Index& idx, int64_t cx, int64_t cy,
-                                   int64_t cz) {
-    int64_t d = 0;
-    int64_t c[3] = {cx, cy, cz};
-    for (int dd = 0; dd < 3; dd++) {
-        d = std::max(d, std::abs(c[dd] - idx.c0[dd]));
-        d = std::max(d, std::abs(c[dd] - idx.c1[dd]));
-    }
-    return d;
-}
-
-// Visit every occupied cell on the shell at Chebyshev radius r, clamped to
-// the occupied box.
-template <class F>
-static inline void for_shell(const Index& idx, int64_t cx, int64_t cy,
-                             int64_t cz, int64_t r, F&& visit) {
-    int64_t x0 = std::max(cx - r, idx.c0[0]), x1 = std::min(cx + r, idx.c1[0]);
-    int64_t y0 = std::max(cy - r, idx.c0[1]), y1 = std::min(cy + r, idx.c1[1]);
-    int64_t z0 = std::max(cz - r, idx.c0[2]), z1 = std::min(cz + r, idx.c1[2]);
-    for (int64_t ix = x0; ix <= x1; ix++) {
-        for (int64_t iy = y0; iy <= y1; iy++) {
-            for (int64_t iz = z0; iz <= z1; iz++) {
-                if (std::max({std::abs(ix - cx), std::abs(iy - cy),
-                              std::abs(iz - cz)}) != r)
-                    continue;
-                visit(ix, iy, iz);
-            }
         }
     }
 }
