@@ -7,7 +7,7 @@ import numpy as np
 from ..core.grid import Grid
 from ..ops.ldc import ldc_block
 from ._common import asarray_f32
-from .oi import _BLOCK, _candidates, _resolved_fields
+from .oi import _BLOCK, _candidates, _device_fields, _origin
 
 __all__ = ["local_distribution_correction"]
 
@@ -41,11 +41,9 @@ def local_distribution_correction(bgrid: Grid, background, points, pobs,
     if res is None:
         return background.copy()
     cand, mask = res
-    origin = bpoints.xyz.mean(axis=0)
-    p1_all = _resolved_fields(bpoints, structure, origin)
-    o_fields = {k: jnp.asarray(v)
-                for k, v in _resolved_fields(points, structure,
-                                             origin).items()}
+    origin = _origin(bpoints)
+    p1_all = _device_fields(bpoints, structure, origin)
+    o_fields = _device_fields(points, structure, origin)
     nt = pobs.shape[0]
     j_obs = jnp.asarray(pobs.T)          # (S, T)
     j_fcst = jnp.asarray(pbackground.T)  # (S, T)
@@ -57,8 +55,7 @@ def local_distribution_correction(bgrid: Grid, background, points, pobs,
         cand_j = jnp.asarray(cand[start:end])
         b = end - start
         k = cand_j.shape[1]
-        p1 = {key: jnp.asarray(v[start:end])[:, None]
-              for key, v in p1_all.items()}
+        p1 = {key: v[start:end][:, None] for key, v in p1_all.items()}
         cand_fields = {key: jnp.take(v, cand_j, axis=0)
                        for key, v in o_fields.items()}
         rho = structure.corr_background_jnp(p1, cand_fields)  # (B, K)

@@ -164,37 +164,36 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     if res is None:
         return output, avar
     cand, mask = res
-    origin = bpoints.xyz.mean(axis=0)
-    p1_all = _resolved_fields(bpoints, structure, origin)
-    o_fields = {k: jnp.asarray(v)
-                for k, v in _resolved_fields(opts, structure,
-                                             origin).items()}
+    origin = _origin(bpoints)
+    p1_all = _device_fields(bpoints, structure, origin)
+    o_fields = _device_fields(opts, structure, origin)
     j_obs = jnp.asarray(pobs_k)
     j_bg = jnp.asarray(pbg_k)
     j_ratios = jnp.asarray(pratios_k)
+    cand_dev = jnp.asarray(cand)
+    mask_dev = jnp.asarray(mask)
 
     kernel = make_oi_kernel(structure, int(max_points),
                             bool(allow_extrapolation))
+    bg_j = jnp.asarray(background)
+    bvar_j = jnp.asarray(bvariance)
 
-    # Keep all block outputs on device; one transfer at the end (the axon
-    # tunnel pays ~0.3 s latency per device-to-host readback).
+    # Keep all block outputs on device; one transfer at the end (tunneled
+    # links pay large latency per host-device crossing).
     outs = []
     avars = []
     block = _BLOCK
     for start in range(0, n, block):
         end = min(start + block, n)
-        ci = cand[start:end]
-        mi = mask[start:end]
-        p1 = {k: jnp.asarray(v[start:end])[:, None] for k, v in p1_all.items()}
-        cand_j = jnp.asarray(ci)
+        p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
+        cand_j = cand_dev[start:end]
         cand_fields = {k: jnp.take(v, cand_j, axis=0)
                        for k, v in o_fields.items()}
         obs_b = jnp.take(j_obs, cand_j, axis=0)
         y_b = jnp.take(j_bg, cand_j, axis=0)
         r_b = jnp.take(j_ratios, cand_j, axis=0)
-        out_b, avar_b = kernel(p1, cand_fields, jnp.asarray(mi),
-                               jnp.asarray(background[start:end]),
-                               jnp.asarray(bvariance[start:end]),
+        out_b, avar_b = kernel(p1, cand_fields, mask_dev[start:end],
+                               bg_j[start:end], bvar_j[start:end],
                                obs_b, y_b, r_b)
         outs.append(out_b)
         avars.append(avar_b)
@@ -203,21 +202,48 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     return output, avar
 
 
+def _origin(bpoints):
+    cached = bpoints.__dict__.get("_origin_cache")
+    if cached is None:
+        cached = bpoints.xyz.mean(axis=0)
+        bpoints.__dict__["_origin_cache"] = cached
+    return cached
+
+
+def _device_fields(pts: Points, structure, origin) -> dict:
+    """Device-resident resolved point fields, cached on the points object.
+
+    Grid coordinates are static across forecast cycles; keeping them on
+    device avoids re-uploading ~100 MB of fields per OI call (the dominant
+    cost on tunneled links).
+    """
+    cache = pts.__dict__.setdefault("_dev_field_cache", {})
+    spatial_id = id(structure) if getattr(structure, "is_spatial", False) \
+        else None
+    key = (spatial_id, tuple(np.round(origin, 3)))
+    if key not in cache:
+        fields = _resolved_fields(pts, structure, origin)
+        if len(cache) > 4:
+            cache.clear()
+        cache[key] = {k: jnp.asarray(v) for k, v in fields.items()}
+    return cache[key]
+
+
 def _oi_points_dense(bpoints, background, bvariance, opts, pobs_k,
                      pratios_k, pbg_k, structure, max_points,
                      allow_extrapolation, output, avar):
-    """Fully on-device OI: only point fields and per-block p1 slices cross
-    the host-device link."""
+    """Fully on-device OI: only obs values and per-block field slices (all
+    device-resident) are touched per call."""
     n = bpoints.size()
     p = opts.size()
-    origin = bpoints.xyz.mean(axis=0)
-    p1_all = _resolved_fields(bpoints, structure, origin)
-    o_fields = {k: jnp.asarray(v)
-                for k, v in _resolved_fields(opts, structure,
-                                             origin).items()}
+    origin = _origin(bpoints)
+    p1_all = _device_fields(bpoints, structure, origin)
+    o_fields = _device_fields(opts, structure, origin)
     j_obs = jnp.asarray(pobs_k)
     j_bg = jnp.asarray(pbg_k)
     j_ratios = jnp.asarray(pratios_k)
+    bg_j = jnp.asarray(background)
+    bvar_j = jnp.asarray(bvariance)
     kernel = make_oi_dense_kernel(structure, int(max_points),
                                   bool(allow_extrapolation))
     # Block size capped so the (B, P) rho matrix stays ~<2 GB
@@ -227,12 +253,9 @@ def _oi_points_dense(bpoints, background, bvariance, opts, pobs_k,
     start = 0
     while start < n:
         end = min(start + block, n)
-        p1 = {k: jnp.asarray(v[start:end])[:, None]
-              for k, v in p1_all.items()}
-        out_b, avar_b = kernel(p1, o_fields,
-                               jnp.asarray(background[start:end]),
-                               jnp.asarray(bvariance[start:end]),
-                               j_obs, j_bg, j_ratios)
+        p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
+        out_b, avar_b = kernel(p1, o_fields, bg_j[start:end],
+                               bvar_j[start:end], j_obs, j_bg, j_ratios)
         outs.append(out_b)
         avars.append(avar_b)
         start = end

@@ -8,7 +8,7 @@ from ..core.grid import Grid
 from ..core.points import Points
 from ..ops.oi_ensi import make_ensi_kernel
 from ._common import asarray_f32
-from .oi import _BLOCK, _candidates, _resolved_fields
+from .oi import _BLOCK, _candidates, _device_fields, _origin
 
 __all__ = ["optimal_interpolation_ensi"]
 
@@ -83,11 +83,9 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
         return output.reshape(background.shape)
     cand, mask = res
 
-    origin = bpoints.xyz.mean(axis=0)
-    p1_all = _resolved_fields(bpoints, structure, origin)
-    o_fields = {k: jnp.asarray(v)
-                for k, v in _resolved_fields(opts, structure,
-                                             origin).items()}
+    origin = _origin(bpoints)
+    p1_all = _device_fields(bpoints, structure, origin)
+    o_fields = _device_fields(opts, structure, origin)
     j_obs = jnp.asarray(pobs[kidx])
     j_sig = jnp.asarray(psigmas[kidx])
     j_yanom = jnp.asarray(y_anom[kidx][:, valid_ens])
@@ -100,8 +98,7 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
     for start in range(0, n, _BLOCK):
         end = min(start + _BLOCK, n)
         cand_j = jnp.asarray(cand[start:end])
-        p1 = {k: jnp.asarray(v[start:end])[:, None]
-              for k, v in p1_all.items()}
+        p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
         cand_fields = {k: jnp.take(v, cand_j, axis=0)
                        for k, v in o_fields.items()}
         out_b = kernel(p1, cand_fields, jnp.asarray(mask[start:end]),

@@ -11,7 +11,7 @@ from ..core.grid import Grid
 from ..ops.oi_ensi_multi import (DEFAULT_MIN_STD, make_ebe_kernel,
                                  make_ebesc_kernel, make_utem_kernel)
 from ._common import asarray_f32
-from .oi import _BLOCK, _candidates, _resolved_fields
+from .oi import _BLOCK, _candidates, _device_fields, _origin
 
 __all__ = [
     "optimal_interpolation_ensi_multi_ebe",
@@ -57,11 +57,9 @@ def _common_prep(bpoints, points, structure, max_points, obs_select_valid):
     if res is None:
         return None
     cand, mask = res
-    origin = bpoints.xyz.mean(axis=0)
-    p1_all = _resolved_fields(bpoints, structure, origin)
-    o_fields = {k: jnp.asarray(v)
-                for k, v in _resolved_fields(opts, structure,
-                                             origin).items()}
+    origin = _origin(bpoints)
+    p1_all = _device_fields(bpoints, structure, origin)
+    o_fields = _device_fields(opts, structure, origin)
     return keep, cand, mask, p1_all, o_fields
 
 
@@ -70,8 +68,7 @@ def _run_blocks(kernel, n, cand, mask, p1_all, o_fields, per_block_args):
     for start in range(0, n, _BLOCK):
         end = min(start + _BLOCK, n)
         cand_j = jnp.asarray(cand[start:end])
-        p1 = {k: jnp.asarray(v[start:end])[:, None]
-              for k, v in p1_all.items()}
+        p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
         cand_fields = {k: jnp.take(v, cand_j, axis=0)
                        for k, v in o_fields.items()}
         args = per_block_args(start, end, cand_j)

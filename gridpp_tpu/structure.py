@@ -295,6 +295,9 @@ class _KernelStructure(StructureFunction):
                 self.w2.ravel()[flat])
 
     def resolve_p1_np(self, fields: dict) -> dict:
+        if not self.is_spatial:
+            # scalar length scales live in the closure; no per-point arrays
+            return fields
         h, v, w = self.resolve_hvw_np(fields["lat"], fields["lon"])
         out = dict(fields)
         out["h"], out["v"], out["w"] = h, v, w
