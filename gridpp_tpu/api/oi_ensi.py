@@ -95,8 +95,13 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
                               bool(allow_extrapolation))
     bg_valid = flat_bg[:, valid_ens]
     outs = []
-    for start in range(0, n, _BLOCK):
-        end = min(start + _BLOCK, n)
+    # Adaptive block: the (B, K, E) gathers and batched EXE eigh must fit
+    # HBM alongside the field arrays
+    k_pad = cand.shape[1]
+    e_val = max(len(valid_ens), 1)
+    block = max(16384, min(_BLOCK, (1 << 27) // max(k_pad * e_val, 1)))
+    for start in range(0, n, block):
+        end = min(start + block, n)
         cand_j = jnp.asarray(cand[start:end])
         p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
         cand_fields = {k: jnp.take(v, cand_j, axis=0)

@@ -63,10 +63,13 @@ def _common_prep(bpoints, points, structure, max_points, obs_select_valid):
     return keep, cand, mask, p1_all, o_fields
 
 
-def _run_blocks(kernel, n, cand, mask, p1_all, o_fields, per_block_args):
+def _run_blocks(kernel, n, cand, mask, p1_all, o_fields, per_block_args,
+                n_ens=8):
     outs = []
-    for start in range(0, n, _BLOCK):
-        end = min(start + _BLOCK, n)
+    k_pad = cand.shape[1]
+    block = max(16384, min(_BLOCK, (1 << 27) // max(k_pad * n_ens, 1)))
+    for start in range(0, n, block):
+        end = min(start + block, n)
         cand_j = jnp.asarray(cand[start:end])
         p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
         cand_fields = {k: jnp.take(v, cand_j, axis=0)
@@ -161,7 +164,7 @@ def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
                 jnp.take(j_zr, cand_j, axis=0))
 
     out_valid = _run_blocks(kernel, n, cand, mask, p1_all, o_fields,
-                            per_block)
+                            per_block, n_ens=len(valid_ens))
     output[:, valid_ens] = out_valid
     return output.reshape(background.shape)
 
@@ -215,7 +218,7 @@ def optimal_interpolation_ensi_multi_ebesc(bgrid, bratios, background,
                 jnp.take(j_innov, cand_j, axis=0))
 
     out_valid = _run_blocks(kernel, n, cand, mask, p1_all, o_fields,
-                            per_block)
+                            per_block, n_ens=len(valid_ens))
     output[:, valid_ens] = out_valid
     return output.reshape(background.shape)
 
@@ -287,6 +290,6 @@ def optimal_interpolation_ensi_multi_utem(bgrid, bratios, background,
                 jnp.take(j_yhat, cand_j, axis=0))
 
     out_valid = _run_blocks(kernel, n, cand, mask, p1_all, o_fields,
-                            per_block)
+                            per_block, n_ens=len(valid_ens))
     output[:, valid_ens] = out_valid
     return output.reshape(background.shape)
