@@ -12,7 +12,7 @@ import numpy as np
 from ..constants import MV
 from ..core.grid import Grid
 from ..core.points import Points
-from ..ops.oi import make_oi_dense_kernel, make_oi_kernel
+from ..ops.oi import make_oi_dense_sweep, make_oi_kernel
 from ._common import asarray_f32
 
 __all__ = ["optimal_interpolation", "optimal_interpolation_full"]
@@ -244,24 +244,15 @@ def _oi_points_dense(bpoints, background, bvariance, opts, pobs_k,
     j_ratios = jnp.asarray(pratios_k)
     bg_j = jnp.asarray(background)
     bvar_j = jnp.asarray(bvariance)
-    kernel = make_oi_dense_kernel(structure, int(max_points),
-                                  bool(allow_extrapolation))
-    # Block size capped so the (B, P) rho matrix stays ~<2 GB
-    block = max(8192, min(_BLOCK, (1 << 29) // max(p, 1)))
-    outs = []
-    avars = []
-    start = 0
-    while start < n:
-        end = min(start + block, n)
-        p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
-        out_b, avar_b = kernel(p1, o_fields, bg_j[start:end],
-                               bvar_j[start:end], j_obs, j_bg, j_ratios)
-        outs.append(out_b)
-        avars.append(avar_b)
-        start = end
-    output = np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
-    avar = np.asarray(jnp.concatenate(avars) if len(avars) > 1 else avars[0])
-    return output, avar
+    # Chunk size capped so the per-chunk (B, P) rho matrix stays ~<1 GB;
+    # the whole sweep runs as one dispatch (lax.map inside jit)
+    block = max(8192, min(_BLOCK, (1 << 28) // max(p, 1)))
+    kernel = make_oi_dense_sweep(structure, int(max_points),
+                                 bool(allow_extrapolation), block)
+    p1 = {k: v for k, v in p1_all.items()}
+    out_j, avar_j = kernel(p1, o_fields, bg_j, bvar_j, j_obs, j_bg,
+                           j_ratios)
+    return np.asarray(out_j), np.asarray(avar_j)
 
 
 def _validate_oi(bobj, background, points, pobs, extra_vecs, names):

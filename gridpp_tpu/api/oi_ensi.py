@@ -6,7 +6,7 @@ import numpy as np
 
 from ..core.grid import Grid
 from ..core.points import Points
-from ..ops.oi_ensi import make_ensi_kernel
+from ..ops.oi_ensi import make_ensi_dense_sweep, make_ensi_kernel
 from ._common import asarray_f32
 from .oi import _BLOCK, _candidates, _device_fields, _origin
 
@@ -76,6 +76,25 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
         return output.reshape(background.shape)
     kidx = np.nonzero(keep)[0]
     opts = points.subset(kidx)
+
+    # Dense device path: selection on device, one dispatch for the grid
+    if 0 < opts.size() <= 32768 and n * opts.size() > 4_000_000:
+        origin = _origin(bpoints)
+        p1_all = _device_fields(bpoints, structure, origin)
+        o_fields = _device_fields(opts, structure, origin)
+        p = opts.size()
+        e_val = max(len(valid_ens), 1)
+        block = max(8192, min(_BLOCK, (1 << 28) // max(p, 1),
+                              (1 << 27) // max(32 * e_val, 1)))
+        kernel = make_ensi_dense_sweep(structure, int(max_points),
+                                       bool(allow_extrapolation), block)
+        out_j = kernel(p1_all, o_fields,
+                       jnp.asarray(flat_bg[:, valid_ens]),
+                       jnp.asarray(pobs[kidx]), jnp.asarray(psigmas[kidx]),
+                       jnp.asarray(y_anom[kidx][:, valid_ens]),
+                       jnp.asarray(y_hat[kidx].astype(np.float32)))
+        output[:, valid_ens] = np.asarray(out_j)
+        return output.reshape(background.shape)
 
     loc = structure.localization_np(bpoints.lats, bpoints.lons)
     res = _candidates(bpoints, opts, loc, max_points)

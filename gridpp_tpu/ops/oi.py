@@ -171,3 +171,47 @@ def make_oi_dense_kernel(structure, max_points: int,
 
     cache[(int(max_points), bool(allow_extrapolation))] = kernel
     return kernel
+
+
+def make_oi_dense_sweep(structure, max_points: int,
+                        allow_extrapolation: bool, block: int):
+    """Whole-grid dense OI in ONE dispatch.
+
+    Wraps oi_block_dense in a lax.map over gridpoint chunks, so the (B, P)
+    rho matrix stays bounded while the entire grid sweeps in a single XLA
+    program - no per-block dispatch latency (which dominates on tunneled
+    links).
+    """
+    cache, hit = _kernel_cache(
+        structure, "_oi_dense_sweep_cache",
+        (int(max_points), bool(allow_extrapolation), int(block)))
+    if hit is not None:
+        return hit
+
+    @jax.jit
+    def kernel(p1_fields, obs_fields, background, bvariance, obs, obs_y,
+               ratios):
+        n = background.shape[0]
+        nb = -(-n // block)
+        pad = nb * block - n
+
+        def pad_to(v):
+            return jnp.concatenate(
+                [v, jnp.full((pad,), jnp.nan, v.dtype)]) if pad else v
+
+        p1s = {k: pad_to(v).reshape(nb, block, 1)
+               for k, v in p1_fields.items()}
+        bg = pad_to(background).reshape(nb, block)
+        bv = pad_to(bvariance).reshape(nb, block)
+
+        def body(args):
+            p1c, bgc, bvc = args
+            return oi_block_dense(structure, p1c, obs_fields, bgc, bvc,
+                                  obs, obs_y, ratios, max_points,
+                                  allow_extrapolation)
+
+        out, avar = jax.lax.map(body, (p1s, bg, bv))
+        return out.reshape(-1)[:n], avar.reshape(-1)[:n]
+
+    cache[(int(max_points), bool(allow_extrapolation), int(block))] = kernel
+    return kernel
