@@ -109,3 +109,29 @@ def get_debug_level():
 def clock():
     import time
     return time.time()
+
+
+def debug(message):
+    """Print a debug message (util.cpp:226-228)."""
+    print(message)
+
+
+def warning(message):
+    """Print a warning message (util.cpp:230-232)."""
+    print(f"Warning: {message}")
+
+
+def error(message):
+    """Print and raise an error (util.cpp:234-245)."""
+    print(f"Error: {message}")
+    raise RuntimeError(message)
+
+
+def future_deprecation_warning(function, other=""):
+    """Deprecation notice (util.cpp:246-252)."""
+    msg = f"Future deprecation warning: {function} will be deprecated"
+    if other:
+        msg += f", use {other} instead."
+    else:
+        msg += "."
+    print(msg)
