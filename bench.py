@@ -38,14 +38,13 @@ def main():
     pobs = pback + rng.normal(0, 1, p).astype(np.float32)
     ratios = np.full(p, 0.1, np.float32)
 
-    def pipeline():
-        smoothed = gridpp.neighbourhood(background, 7, gridpp.Mean)
-        return gridpp.optimal_interpolation(
-            grid, smoothed, points, pobs, ratios, pback, structure, 10)
-
-    pipeline()  # warm-up: jit compiles + candidate caches
+    # Fused production path: neighbourhood smooth + OI in one device
+    # program; one upload, one download per cycle.
+    pipe = gridpp.Pipeline(grid, points, structure, halfwidth=7,
+                           statistic=gridpp.Mean, max_points=10)
+    pipe(background, pobs, ratios)  # warm-up: jit compile + caches
     t0 = time.time()
-    analysis = pipeline()
+    analysis = pipe(background, pobs, ratios)
     dt = time.time() - t0
     assert np.isfinite(analysis).all()
 

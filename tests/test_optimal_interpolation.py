@@ -262,3 +262,46 @@ class TestDensePath:
             jnp.take(jnp.asarray(ratios), cand_j, axis=0))
         np.testing.assert_allclose(out_dense, np.asarray(out_host),
                                    atol=2e-5)
+
+
+class TestPipeline:
+    def test_matches_separate_calls(self):
+        rng = np.random.default_rng(0)
+        n = 40
+        lats, lons = np.meshgrid(np.linspace(55, 58, n),
+                                 np.linspace(5, 8, n), indexing="ij")
+        grid = gridpp.Grid(lats, lons)
+        p = 30
+        points = gridpp.Points(rng.uniform(55, 58, p),
+                               rng.uniform(5, 8, p))
+        structure = gridpp.BarnesStructure(50000)
+        background = rng.normal(280, 5, (n, n)).astype(np.float32)
+        pobs = rng.normal(280, 5, p).astype(np.float32)
+        ratios = np.full(p, 0.1, np.float32)
+
+        pipe = gridpp.Pipeline(grid, points, structure, halfwidth=3,
+                               max_points=5)
+        fused = pipe(background, pobs, ratios)
+
+        smoothed = gridpp.neighbourhood(background, 3, gridpp.Mean)
+        pback = gridpp.nearest(grid, points, smoothed)
+        expected = gridpp.optimal_interpolation(
+            grid, smoothed, points, pobs, ratios, pback, structure, 5)
+        np.testing.assert_allclose(fused, expected, atol=2e-4)
+
+    def test_no_smoothing(self):
+        rng = np.random.default_rng(1)
+        n = 20
+        lats, lons = np.meshgrid(np.linspace(55, 57, n),
+                                 np.linspace(5, 7, n), indexing="ij")
+        grid = gridpp.Grid(lats, lons)
+        points = gridpp.Points([56.0], [6.0])
+        structure = gridpp.BarnesStructure(50000)
+        background = np.zeros((n, n), np.float32)
+        pipe = gridpp.Pipeline(grid, points, structure, halfwidth=0,
+                               max_points=5)
+        out = pipe(background, np.array([1.0]), np.array([0.1]))
+        pback = gridpp.nearest(grid, points, background)
+        expected = gridpp.optimal_interpolation(
+            grid, background, points, [1.0], [0.1], pback, structure, 5)
+        np.testing.assert_allclose(out, expected, atol=1e-5)
