@@ -189,26 +189,60 @@ class FileNetcdf(File):
         return data.astype(np.float32)
 
     def write(self, variables, history=""):
-        """Write cached fields back (NetCDF3 via scipy, in place)."""
+        """Write cached fields back (NetCDF3 via scipy).
+
+        scipy's netcdf append mode corrupts record variables beyond the
+        first record when assigned in place, so the file is rewritten
+        wholesale: dimensions, attributes, and untouched variables are
+        copied; cached fields replace their variables' data.
+        """
         from scipy.io import netcdf_file
-        self._nc.close()
-        out = netcdf_file(self.filename, "a", mmap=False)
+        updates = {}
         for name in variables:
-            if name not in self._fields:
-                continue
-            data = self._fields[name]
-            if name in out.variables:
-                var = out.variables[name]
-                reshaped = _fit_to_dims(data, var.shape)
-                var[:] = reshaped.astype(var.data.dtype)
+            if name in self._fields and name in self._nc.variables:
+                var = self._nc.variables[name]
+                updates[name] = _fit_to_dims(self._fields[name], var.shape)
+        # Snapshot everything before closing the read handle
+        dims = dict(self._nc.dimensions)
+        varspec = []
+        for name, var in self._nc.variables.items():
+            if name in updates:
+                data = updates[name]
+            elif var.shape == ():
+                data = var.getValue()
+            else:
+                data = np.array(var[:])
+            attrs = dict(getattr(var, "_attributes", {}))
+            varspec.append((name, var.dimensions, var.data.dtype, data,
+                            attrs))
+        gattrs = dict(getattr(self._nc, "_attributes", {}))
+        self._nc.close()
         if history:
-            try:
-                prev = getattr(out, "history", b"")
-                if isinstance(prev, bytes):
-                    prev = prev.decode()
-                out.history = (history + "\n" + prev).encode()
-            except Exception:
-                pass
+            prev = gattrs.get("history", b"")
+            if isinstance(prev, bytes):
+                prev = prev.decode()
+            gattrs["history"] = (history + "\n" + prev).encode()
+        out = netcdf_file(self.filename, "w", mmap=False)
+        for key, value in gattrs.items():
+            setattr(out, key, value)
+        for name, size in dims.items():
+            if size is None:
+                # Materialize the unlimited (record) dimension: scipy's
+                # writer mangles record-variable data, so emit fixed size.
+                size = next((d.shape[i]
+                             for _, vdims, _, d, _ in varspec
+                             for i, dn in enumerate(vdims) if dn == name
+                             and np.ndim(d) > i), 1)
+            out.createDimension(name, int(size))
+        for name, vdims, dtype, data, attrs in varspec:
+            v = out.createVariable(name, dtype.newbyteorder("="), vdims)
+            for key, value in attrs.items():
+                setattr(v, key, value)
+            if len(vdims) == 0:
+                # assignValue is broken for 0-d backing arrays in scipy
+                v.data[()] = data
+            else:
+                v[:] = np.asarray(data).astype(dtype)
         out.close()
         self._nc = netcdf_file(self.filename, "r", mmap=False)
 

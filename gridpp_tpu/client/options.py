@@ -23,6 +23,12 @@ class Options:
             return raw not in ("0", "false", "False")
         return type(raw)
 
+    def get_required(self, key, type=str):
+        """Value for a mandatory option (Options::getRequiredValue)."""
+        if key not in self._values:
+            raise RuntimeError(f"Missing required option '{key}'")
+        return self.get(key, type=type)
+
     def get_floats(self, key, default=()):
         if key not in self._values:
             return list(default)

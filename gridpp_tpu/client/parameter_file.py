@@ -62,6 +62,26 @@ class ParameterFileText:
         self._params = np.array([[r[c] for c in param_cols]
                                  for r in records], np.float32)
 
+    def is_location_dependent(self) -> bool:
+        """Whether parameters vary by location (ParameterFile.h:16-60)."""
+        return self.spatial
+
+    def params_for_locations(self, time, lats, lons):
+        """(N, P) parameter rows for N query locations.
+
+        Spatial files resolve each location to its nearest parameter
+        point (ParameterFile nearest-location lookup); non-spatial files
+        broadcast the single time-matched row.
+        """
+        lats = np.asarray(lats, np.float64).ravel()
+        if not self.spatial:
+            row = self.parameters_at_time(time)
+            return np.broadcast_to(row, (lats.size, row.size)).copy()
+        points, params = self.to_points(time)
+        idx = points.index.nearest(lats, np.asarray(lons,
+                                                    np.float64).ravel())
+        return params[idx]
+
     def parameters_at_time(self, time):
         """Parameter vector for the nearest available time (non-spatial)."""
         if len(self._times) == 0:
