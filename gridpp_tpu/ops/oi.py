@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["oi_block", "oi_block_dense", "make_oi_kernel",
-           "make_oi_dense_kernel"]
+__all__ = ["oi_block", "oi_block_dense", "oi_block_from_candidates",
+           "make_oi_kernel", "make_oi_dense_kernel", "make_oi_select_sweep"]
 
 
 def _select_top(rho, valid, s_cap: int):
@@ -36,22 +36,48 @@ def _select_top(rho, valid, s_cap: int):
     return vals, sel, sel_valid
 
 
+def _gj_solve_batch_last(a, b):
+    """Solve a[:, :, i] @ x[:, i] = b[:, i] for every batch column i.
+
+    a: (S, S, B), b: (S, B). Unrolled Gauss-Jordan without pivoting —
+    valid because the OI system is a correlation matrix plus a positive
+    diagonal ridge (SPD), and masked-out rows are identity rows. The
+    batch-LAST layout is the TPU key: the 128-lane vector axis is the
+    batch, so every step is full-width elementwise work. A batched
+    LAPACK-style `linalg.solve` on (B, 10, 10) pads the size-10 trailing
+    axis to 128 lanes and runs ~200x slower on v5e.
+    """
+    s = a.shape[0]
+    m = jnp.concatenate([a, b[:, None, :]], axis=1)  # (S, S+1, B)
+    for k in range(s):
+        row = m[k] / m[k, k]  # (S+1, B)
+        m = m - m[:, k][:, None, :] * row[None, :, :]
+        m = m.at[k].set(row)
+    return m[:, s]  # (S, B)
+
+
 def _solve_selected(structure, sel_fields, lg, sel_valid, l_obs, l_y, l_r,
                     background, bvariance, allow_extrapolation: bool):
-    """Shared OI tail: S x S assembly, solve, clamp (oi.cpp:289-341)."""
-    s_cap = lg.shape[1]
-    pi = {key: v[:, :, None] for key, v in sel_fields.items()}
-    pj = {key: v[:, None, :] for key, v in sel_fields.items()}
-    lp = structure.corr_jnp(pi, pj).astype(jnp.float32)  # (B, S, S)
+    """Shared OI tail: S x S assembly, solve, clamp (oi.cpp:289-341).
 
-    pair_valid = sel_valid[:, :, None] & sel_valid[:, None, :]
-    eye = jnp.eye(s_cap, dtype=jnp.float32)
-    a_mat = jnp.where(pair_valid, lp, 0.0) + \
-        jnp.where(sel_valid, l_r, 1.0)[:, :, None] * eye
+    All (S, S)-shaped work runs in batch-last layout (see
+    _gj_solve_batch_last) so the small S axes live in sublanes and the
+    gridpoint batch fills the 128-wide vector lanes.
+    """
+    s_cap = lg.shape[1]
+    ft = {key: v.T for key, v in sel_fields.items()}  # (S, B)
+    pi = {key: v[:, None, :] for key, v in ft.items()}
+    pj = {key: v[None, :, :] for key, v in ft.items()}
+    lp = structure.corr_jnp(pi, pj).astype(jnp.float32)  # (S, S, B)
+
+    sv = sel_valid.T  # (S, B)
+    pair_valid = sv[:, None, :] & sv[None, :, :]
+    eye = jnp.eye(s_cap, dtype=jnp.float32)[:, :, None]
+    ridge = jnp.where(sv, l_r.T, 1.0)[:, None, :] * eye
+    a_mat = jnp.where(pair_valid, lp, 0.0) + ridge
     a_mat = jnp.where(pair_valid | (eye > 0), a_mat, 0.0)
 
-    rhs = lg[:, :, None]  # (B, S, 1)
-    x = jnp.linalg.solve(a_mat, rhs)[:, :, 0]  # (B, S)
+    x = _gj_solve_batch_last(a_mat, lg.T.astype(jnp.float32)).T  # (B, S)
 
     innov = jnp.where(sel_valid, l_obs - l_y, 0.0)
     increment = jnp.sum(x * innov, axis=1)
@@ -129,6 +155,85 @@ def oi_block_dense(structure, p1_fields, obs_fields, background, bvariance,
     return _solve_selected(structure, sel_fields, lg, sel_valid, l_obs,
                            l_y, l_r, background, bvariance,
                            allow_extrapolation)
+
+
+def oi_block_from_candidates(structure, cand_sel, cand_rho, cand_valid,
+                             obs_fields, background, bvariance, obs, obs_y,
+                             ratios, max_points: int,
+                             allow_extrapolation: bool):
+    """OI with a PRECOMPUTED geometric candidate shortlist.
+
+    The top-rho shortlist (cand_sel/cand_rho/cand_valid, all (B, K)) is
+    geometry-only — it depends on the grid, the obs network and the
+    structure function, none of which change between forecast cycles — so
+    it is computed once (make_oi_select_sweep) and reused every call.
+    Per call only obs *values* change: candidates whose obs/background are
+    invalid this cycle are masked here and the final top-max_points
+    re-selected among the survivors (exact vs the reference pre-filter at
+    oi.cpp:250-260 as long as the shortlist has >= max_points valid
+    entries; K > max_points provides the slack).
+    """
+    k = cand_sel.shape[1]
+    s_cap = min(max_points, k) if max_points > 0 else k
+    valid = (cand_valid
+             & jnp.isfinite(jnp.take(obs, cand_sel, axis=0))
+             & jnp.isfinite(jnp.take(obs_y, cand_sel, axis=0)))
+
+    vals, sub, sel_valid = _select_top(cand_rho, valid, s_cap)
+    lg = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
+    g = jnp.take_along_axis(cand_sel, sub, axis=1)
+
+    sel_fields = {key: jnp.take(obs_fields[key], g, axis=0)
+                  for key in obs_fields}
+    l_obs = jnp.take(obs, g, axis=0)
+    l_y = jnp.take(obs_y, g, axis=0)
+    l_r = jnp.take(ratios, g, axis=0)
+    return _solve_selected(structure, sel_fields, lg, sel_valid, l_obs,
+                           l_y, l_r, background, bvariance,
+                           allow_extrapolation)
+
+
+def make_oi_select_sweep(structure, k_cap: int, block: int):
+    """One-dispatch geometric candidate selection over the whole grid.
+
+    Returns a jitted kernel (p1_fields {(N,) arrays}, obs_fields
+    {(P,) arrays}) -> (sel (N, K) int32, rho (N, K) f32, valid (N, K)
+    bool): for every gridpoint, the K highest-rho observations under the
+    structure function (rho > 0 reproduces the reference's radius query
+    since every kernel zeroes rho beyond its localization distance).
+    """
+    cache, hit = _kernel_cache(structure, "_oi_select_sweep_cache",
+                               (int(k_cap), int(block)))
+    if hit is not None:
+        return hit
+
+    @jax.jit
+    def kernel(p1_fields, obs_fields):
+        n = next(iter(p1_fields.values())).shape[0]
+        nb = -(-n // block)
+        pad = nb * block - n
+
+        def pad_to(v):
+            return jnp.concatenate(
+                [v, jnp.full((pad,), jnp.nan, v.dtype)]) if pad else v
+
+        p1s = {k: pad_to(v).reshape(nb, block, 1)
+               for k, v in p1_fields.items()}
+        o2 = {k: v[None, :] for k, v in obs_fields.items()}
+
+        def body(p1c):
+            rho = structure.corr_background_jnp(p1c, o2)  # (B, P)
+            vals, sel, sel_valid = _select_top(rho, rho > 0, k_cap)
+            return (sel.astype(jnp.int32),
+                    jnp.where(sel_valid, vals, 0.0).astype(jnp.float32),
+                    sel_valid)
+
+        sel, rho, valid = jax.lax.map(body, p1s)
+        return (sel.reshape(-1, k_cap)[:n], rho.reshape(-1, k_cap)[:n],
+                valid.reshape(-1, k_cap)[:n])
+
+    cache[(int(k_cap), int(block))] = kernel
+    return kernel
 
 
 def _kernel_cache(structure, name, key):
