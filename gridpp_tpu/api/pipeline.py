@@ -31,7 +31,8 @@ from ..core.grid import Grid
 from ..core.points import Points
 from ..ops import neighbourhood as nops
 from ..ops.oi import make_oi_select_sweep, oi_block_from_candidates
-from .oi import _device_fields, _origin
+from ..ops import oi_tiled as tiled_ops
+from .oi import _device_fields, _origin, _resolved_fields
 
 __all__ = ["Pipeline"]
 
@@ -54,7 +55,9 @@ class Pipeline:
     def __init__(self, grid: Grid, points: Points, structure,
                  halfwidth: int = 0, statistic: int = Statistic.Mean,
                  max_points: int = 10, allow_extrapolation: bool = True,
-                 block: int = 16384, candidates: int | None = None):
+                 block: int = 16384, candidates: int | None = None,
+                 tiled: bool | None = None, tile_shape=(32, 64),
+                 ratios=None):
         self.grid = grid
         self.points = points
         self.structure = structure
@@ -81,6 +84,18 @@ class Pipeline:
         # query + top-k, oi.cpp:221-281, amortized across cycles).
         select = make_oi_select_sweep(structure, k_cap, block)
         sel, rho, valid = select(p1, obs_fields)
+
+        self._static_w = None
+        self._init_ratios = None
+        if tiled is None:
+            # tile tables win once the grid is large enough to amortize
+            # the table build; tiny grids keep the flat path
+            tiled = n >= 65536
+        if tiled:
+            self._init_tiled(sel, rho, valid, points, structure,
+                             halfwidth, statistic, max_points, allow,
+                             tile_shape, origin, ratios)
+            return
 
         nb = -(-n // block)
         pad = nb * block - n
@@ -124,13 +139,112 @@ class Pipeline:
         self._run = lambda b, o, r: run(b, o, r, *self._cand,
                                         self._obs_fields, self._obs_nn)
 
-    def __call__(self, background, pobs, pratios):
-        """background: (Y, X); pobs/pratios: (P,). Returns (Y, X)."""
-        background = jnp.asarray(np.asarray(background, np.float32))
-        pobs = jnp.asarray(np.asarray(pobs, np.float32))
-        pratios = jnp.asarray(np.asarray(pratios, np.float32))
-        return np.asarray(self._run(background, pobs, pratios))
+    def _init_tiled(self, sel, rho, valid, points, structure, halfwidth,
+                    statistic, max_points, allow, tile_shape, origin,
+                    ratios=None):
+        """Tile-union serving path (ops/oi_tiled.py)."""
+        static_np = _resolved_fields(points, structure, origin)
+        geom = tiled_ops.build_tile_tables(
+            np.asarray(sel), np.asarray(rho), np.asarray(valid),
+            static_np, self.shape, th=tile_shape[0], tw=tile_shape[1])
+        geom_dev = {
+            "tile_table": jnp.asarray(geom.tile_table),
+            "local_idx": jnp.asarray(geom.local_idx),
+            "rho": jnp.asarray(geom.rho),
+            "valid": jnp.asarray(geom.valid),
+            "tile_static": jnp.asarray(geom.tile_static),
+        }
+        self._geom = geom
+        self._geom_dev = jax.block_until_ready(geom_dev)
+        static_keys = tuple(geom.static_keys)
+        obs_nn = self._obs_nn
+        struct = structure
+        shape = self.shape
 
-    def run_device(self, background, pobs, pratios):
-        """Device-to-device variant (no host transfers)."""
+        @jax.jit
+        def run(background, pobs, pratios, gdev):
+            smoothed = background
+            if halfwidth > 0:
+                smoothed = nops.neighbourhood(background, halfwidth,
+                                              statistic)
+            flat = smoothed.reshape(-1)
+            pback = jnp.take(flat, obs_nn)
+            valid01 = (jnp.isfinite(pobs)
+                       & jnp.isfinite(pback)).astype(jnp.float32)
+            packed = jnp.stack(
+                [jnp.where(valid01 > 0, pobs, 0.0),
+                 jnp.where(valid01 > 0, pback, 0.0),
+                 pratios, valid01], axis=1)
+            bg_t = tiled_ops.tile_fields(smoothed, geom)
+            out_t, _ = tiled_ops.oi_tiled_sweep(
+                struct, gdev, static_keys, bg_t, jnp.ones_like(bg_t),
+                packed, max_points, allow)
+            return tiled_ops.untile_fields(out_t, geom).reshape(shape)
+
+        self._run_general = lambda b, o, r: run(b, o, r, self._geom_dev)
+        self._run = self._run_general
+
+        if ratios is not None:
+            # Static-network fast path: the whole per-gridpoint solve is
+            # geometry once ratios are fixed; a cycle is one weighted sum.
+            self._init_ratios = np.asarray(ratios, np.float32)
+            self._static_w = jax.block_until_ready(
+                tiled_ops.build_static_weights(
+                    structure, self._geom_dev, static_keys,
+                    jnp.asarray(self._init_ratios), max_points))
+
+            @jax.jit
+            def run_fast(background, pobs, sw, tile_table):
+                smoothed = background
+                if halfwidth > 0:
+                    smoothed = nops.neighbourhood(background, halfwidth,
+                                                  statistic)
+                flat = smoothed.reshape(-1)
+                innov = pobs - jnp.take(flat, obs_nn)
+                bg_t = tiled_ops.tile_fields(smoothed, geom)
+                out_t = tiled_ops.oi_tiled_apply_weights(
+                    sw, tile_table, bg_t, innov, allow)
+                return tiled_ops.untile_fields(out_t, geom).reshape(shape)
+
+            self._run_fast = lambda b, o: run_fast(
+                b, o, self._static_w, self._geom_dev["tile_table"])
+
+    def _fast_eligible(self, pratios):
+        return self._static_w is not None and (
+            pratios is None
+            or np.array_equal(np.asarray(pratios, np.float32),
+                              self._init_ratios))
+
+    def __call__(self, background, pobs, pratios=None):
+        """background: (Y, X); pobs/pratios: (P,). Returns (Y, X).
+
+        pratios may be omitted when the Pipeline was built with `ratios`.
+        """
+        bg_np = np.asarray(background, np.float32)
+        po_np = np.asarray(pobs, np.float32)
+        # validity checked host-side: no device round-trip
+        assume_valid = bool(np.isfinite(po_np).all()
+                            and np.isfinite(bg_np).all())
+        return np.asarray(self.run_device(
+            jnp.asarray(bg_np), jnp.asarray(po_np), pratios,
+            assume_valid=assume_valid))
+
+    def run_device(self, background, pobs, pratios=None,
+                   assume_valid=False):
+        """Device-to-device variant (no host transfers).
+
+        assume_valid=True skips the all-finite device check (one scalar
+        sync) when the caller has already validated the cycle's inputs —
+        required for async streaming of back-to-back cycles.
+        """
+        if self._fast_eligible(pratios):
+            if assume_valid or bool(
+                    jnp.isfinite(pobs).all()
+                    & jnp.isfinite(background).all()):
+                return self._run_fast(background, pobs)
+            pratios = self._init_ratios
+        if pratios is None:
+            raise ValueError("pratios required (Pipeline built without "
+                             "static ratios)")
+        pratios = jnp.asarray(np.asarray(pratios, np.float32))
         return self._run(background, pobs, pratios)

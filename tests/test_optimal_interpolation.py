@@ -305,3 +305,58 @@ class TestPipeline:
         expected = gridpp.optimal_interpolation(
             grid, background, points, [1.0], [0.1], pback, structure, 5)
         np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+class TestTiledPipeline:
+    """The tile-union serving path must match the flat path exactly."""
+
+    def _problem(self, seed=0, ny=50, nx=70, p=40):
+        rng = np.random.default_rng(seed)
+        lats, lons = np.meshgrid(np.linspace(55, 58, ny),
+                                 np.linspace(5, 8, nx), indexing="ij")
+        grid = gridpp.Grid(lats, lons)
+        points = gridpp.Points(rng.uniform(55, 58, p),
+                               rng.uniform(5, 8, p))
+        structure = gridpp.BarnesStructure(50000)
+        background = rng.normal(280, 5, (ny, nx)).astype(np.float32)
+        pobs = rng.normal(280, 5, p).astype(np.float32)
+        ratios = np.full(p, 0.1, np.float32)
+        return grid, points, structure, background, pobs, ratios
+
+    def test_matches_flat_path(self):
+        grid, points, structure, background, pobs, ratios = self._problem()
+        flat = gridpp.Pipeline(grid, points, structure, halfwidth=3,
+                               max_points=5, tiled=False)
+        # tile shape that does NOT divide the grid: padding path covered
+        tiled = gridpp.Pipeline(grid, points, structure, halfwidth=3,
+                                max_points=5, tiled=True, tile_shape=(16, 32))
+        a = flat(background, pobs, ratios)
+        b = tiled(background, pobs, ratios)
+        np.testing.assert_allclose(b, a, atol=1e-5)
+
+    def test_matches_api_with_missing_obs(self):
+        grid, points, structure, background, pobs, ratios = self._problem(1)
+        rng = np.random.default_rng(2)
+        pobs = pobs.copy()
+        pobs[rng.random(pobs.size) < 0.3] = np.nan
+        tiled = gridpp.Pipeline(grid, points, structure, halfwidth=0,
+                                max_points=5, candidates=40, tiled=True,
+                                tile_shape=(16, 32))
+        out = tiled(background, pobs, ratios)
+        pback = gridpp.nearest(grid, points, background)
+        expected = gridpp.optimal_interpolation(
+            grid, background, points, pobs, ratios, pback, structure, 5)
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    def test_nan_background_cells(self):
+        grid, points, structure, background, pobs, ratios = self._problem(3)
+        background = background.copy()
+        background[5:9, 11:20] = np.nan
+        tiled = gridpp.Pipeline(grid, points, structure, halfwidth=0,
+                                max_points=5, tiled=True, tile_shape=(16, 32))
+        flat = gridpp.Pipeline(grid, points, structure, halfwidth=0,
+                               max_points=5, tiled=False)
+        a = flat(background, pobs, ratios)
+        b = tiled(background, pobs, ratios)
+        np.testing.assert_allclose(b, a, atol=1e-5)
+        assert np.isnan(b[6, 12])
