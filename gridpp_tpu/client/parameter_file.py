@@ -103,6 +103,114 @@ class ParameterFileText:
         return points, self._params[mask]
 
 
+class ParameterFileNetcdf:
+    """Gridded parameter sets (reference ParameterFile/Netcdf.cpp).
+
+    Layout: 2-D lat/lon variables, optional altitude and time, and a
+    coefficient variable over (time?, <spatial dims>, coeff) in any
+    dimension order (Netcdf.cpp:115-190 handles arbitrary ordering; here
+    we transpose by dimension name). NetCDF3 via scipy.
+    """
+
+    def __init__(self, filename, options=None):
+        from scipy.io import netcdf_file
+
+        self.filename = filename
+        self.spatial = True
+        opt = options
+        var_name = (opt.get("varName", "coefficient")
+                    if opt is not None else "coefficient")
+        dim_name = (opt.get("dimName", "coeff")
+                    if opt is not None else "coeff")
+        nc = netcdf_file(filename, "r", mmap=False)
+        try:
+            def find_var(*names):
+                for n in names:
+                    if n in nc.variables:
+                        return nc.variables[n]
+                return None
+
+            vlat = find_var("lat", "latitude")
+            vlon = find_var("lon", "longitude")
+            if vlat is None or vlon is None:
+                raise RuntimeError(
+                    "Could not determine latitude/longitude variable")
+            lats = np.array(vlat[:], np.float64)
+            lons = np.array(vlon[:], np.float64)
+            valt = find_var("altitude")
+            elevs = (np.array(valt[:], np.float64) if valt is not None
+                     else np.full(lats.shape, np.nan))
+            vtime = find_var("time")
+            times = (np.array(vtime[:], np.float64).ravel()
+                     if vtime is not None else np.zeros(1))
+
+            if var_name not in nc.variables:
+                raise RuntimeError(
+                    f"No variable '{var_name}' in {filename}")
+            vcoef = nc.variables[var_name]
+            dims = list(vcoef.dimensions)
+            if dim_name not in dims:
+                raise RuntimeError(
+                    f"Coefficients in {filename} missing '{dim_name}' "
+                    "dimension")
+            spatial_dims = list(vlat.dimensions)
+            for d in spatial_dims:
+                if d not in dims:
+                    raise RuntimeError(
+                        f"Coefficients in {filename} missing spatial "
+                        f"dimension '{d}'")
+            order = []
+            if "time" in dims:
+                order.append(dims.index("time"))
+            order += [dims.index(d) for d in spatial_dims]
+            order.append(dims.index(dim_name))
+            coef = np.array(vcoef[:], np.float32).transpose(order)
+            if "time" not in dims:
+                coef = coef[None]
+        finally:
+            nc.close()
+
+        n_time = coef.shape[0]
+        n_coeff = coef.shape[-1]
+        self._file_times = times[:n_time] if len(times) >= n_time \
+            else np.arange(n_time, dtype=np.float64)
+        self._lats_flat = lats.ravel()
+        self._lons_flat = lons.ravel()
+        self._elevs_flat = elevs.ravel()
+        # (T, S, P)
+        self._coef = coef.reshape(n_time, -1, n_coeff)
+        self._points = Points(self._lats_flat, self._lons_flat,
+                              self._elevs_flat)
+
+    def is_location_dependent(self) -> bool:
+        return True
+
+    def _time_index(self, time):
+        return int(np.argmin(np.abs(self._file_times - time)))
+
+    def params_for_locations(self, time, lats, lons):
+        """(N, P) nearest-location parameter rows for time (nearest)."""
+        lats = np.asarray(lats, np.float64).ravel()
+        lons = np.asarray(lons, np.float64).ravel()
+        idx = self._points.index.nearest(lats, lons)
+        return self._coef[self._time_index(time)][idx]
+
+    def parameters_at_time(self, time):
+        """Mean parameter row over locations (non-spatial accessor)."""
+        return np.nanmean(self._coef[self._time_index(time)], axis=0)
+
+    def to_points(self, time=None):
+        t = 0 if time is None else self._time_index(time)
+        return self._points, self._coef[t]
+
+
 def get_parameter_file(name, options=None):
-    """Autodetect parameter format (text only for now)."""
+    """Autodetect parameter format by magic bytes (text vs NetCDF)."""
+    try:
+        with open(name, "rb") as f:
+            magic = f.read(4)
+    except OSError:
+        magic = b""
+    if magic[:3] == b"CDF" or magic == b"\x89HDF":
+        return ParameterFileNetcdf(name, options)
     return ParameterFileText(name, options)

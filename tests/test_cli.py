@@ -127,6 +127,29 @@ class TestNetcdf:
         points, params = pf2.to_points()
         assert points.size() == 5
 
+    def test_parameter_file_netcdf(self):
+        from gridpp_tpu.client.parameter_file import (ParameterFileNetcdf,
+                                                      get_parameter_file)
+        pf = ParameterFileNetcdf(os.path.join(FIXTURES, "10x10_param.nc"))
+        assert pf.is_location_dependent()
+        points, params = pf.to_points(0)
+        assert points.size() == 100
+        assert params.shape == (100, 2)
+        # xy-transposed file carries the same values, different dim order
+        pf_xy = ParameterFileNetcdf(
+            os.path.join(FIXTURES, "10x10_param_xy.nc"))
+        lats = points.get_lats()
+        lons = points.get_lons()
+        rows = pf.params_for_locations(0, lats, lons)
+        rows_xy = pf_xy.params_for_locations(0, lats, lons)
+        np.testing.assert_allclose(rows, rows_xy)
+        # autodetection by magic bytes
+        auto = get_parameter_file(os.path.join(FIXTURES, "10x10_param.nc"))
+        assert isinstance(auto, ParameterFileNetcdf)
+        auto_txt = get_parameter_file(
+            os.path.join(FIXTURES, "parameters.txt"))
+        assert isinstance(auto_txt, ParameterFileText)
+
     def test_cli_oi(self, tmp_path):
         target = str(tmp_path / "oi.nc")
         shutil.copy(os.path.join(FIXTURES, "10x10.nc"), target)
