@@ -15,9 +15,14 @@ Not collected by pytest (no test_ prefix); run directly:
 import argparse
 import collections
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# Runnable as `python tests/benchmark.py` from any CWD, without an install.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_grid(n, scaling=1.0, lat0=50.0, lon0=5.0, dlat=5.0):
