@@ -1,0 +1,406 @@
+// Native host kernels for gridpp_tpu's parity (numpy) API.
+//
+// The parity API executes on the host; most operators compile well under
+// XLA:CPU, but three are dominated by per-cell work XLA vectorizes badly
+// (windowed sorts, binary searches, scan-order-dependent fallbacks).
+// These get hand-written threaded C++ kernels:
+//   - nb_brute:            brute-force windowed statistics/quantiles
+//                          (reference src/api/neighbourhood.cpp:556-654)
+//   - apply_curve_1d/
+//     apply_curve_percell: calibration-curve application
+//                          (reference src/api/curve.cpp:6-133)
+//   - nb_search:           conditional neighbourhood mean
+//                          (reference src/api/neighbourhood_search.cpp)
+//
+// Semantics mirror the package's jitted device ops exactly (see
+// ops/neighbourhood.py, ops/curves.py, ops/search.py); host-vs-device
+// parity is tested in tests/test_host_device_parity.py.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <functional>
+#include <limits>
+#include <thread>
+#include <vector>
+
+namespace {
+
+const float kNaN = std::numeric_limits<float>::quiet_NaN();
+
+inline bool valid(float v) { return std::isfinite(v); }
+
+void parallel_rows(int64_t n, const std::function<void(int64_t, int64_t)>& fn) {
+    unsigned nt = std::max(1u, std::thread::hardware_concurrency());
+    if (n < 64 || nt == 1) {
+        fn(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; t++) {
+        int64_t s = t * chunk;
+        int64_t e = std::min<int64_t>(n, s + chunk);
+        if (s >= e) break;
+        threads.emplace_back(fn, s, e);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// gridpp Statistic enum values (constants.py / gridpp.h:89-101)
+enum Stat {
+    kMean = 0, kMin = 10, kMedian = 20, kMax = 30, kQuantile = 40,
+    kStd = 50, kVariance = 60, kSum = 70, kCount = 80
+};
+
+// Order-statistic quantile with linear interpolation over the sorted valid
+// values (reference util.cpp:111-178; ops/stats.py nan_quantile).
+inline float quantile_sorted(const float* v, int64_t n, double q) {
+    if (n <= 0) return kNaN;
+    double qn = q * (double)(n - 1);
+    int64_t lo = (int64_t)std::floor(qn);
+    int64_t hi = (int64_t)std::ceil(qn);
+    lo = std::min(std::max<int64_t>(lo, 0), n - 1);
+    hi = std::min(std::max<int64_t>(hi, 0), n - 1);
+    float lv = v[lo], uv = v[hi];
+    double denom = (double)(hi - lo);
+    double f = denom > 0 ? (qn - (double)lo) / denom : 0.0;
+    return (float)(lv + (uv - lv) * f);
+}
+
+// K-shift population variance (reference util.cpp:38-73): shift by the
+// first valid element, E[Y^2]-E[Y]^2, clamped at 0.
+inline float variance_kshift(const float* v, int64_t n) {
+    if (n <= 0) return kNaN;
+    double k = v[0];
+    double s = 0, s2 = 0;
+    for (int64_t i = 0; i < n; i++) {
+        double y = (double)v[i] - k;
+        s += y;
+        s2 += y * y;
+    }
+    double mean = s / (double)n;
+    double var = s2 / (double)n - mean * mean;
+    return (float)std::max(var, 0.0);
+}
+
+inline float stat_of(float* buf, int64_t n, int stat, double q) {
+    switch (stat) {
+        case kMean: case kSum: case kCount: {
+            double s = 0;
+            for (int64_t i = 0; i < n; i++) s += buf[i];
+            if (stat == kCount) return (float)n;
+            if (n == 0) return kNaN;
+            return stat == kMean ? (float)(s / (double)n) : (float)s;
+        }
+        case kMin: {
+            if (n == 0) return kNaN;
+            return *std::min_element(buf, buf + n);
+        }
+        case kMax: {
+            if (n == 0) return kNaN;
+            return *std::max_element(buf, buf + n);
+        }
+        case kMedian: case kQuantile: {
+            if (n == 0) return kNaN;
+            std::sort(buf, buf + n);
+            return quantile_sorted(buf, n, stat == kMedian ? 0.5 : q);
+        }
+        case kStd: case kVariance: {
+            float var = variance_kshift(buf, n);
+            return stat == kStd ? std::sqrt(var) : var;
+        }
+    }
+    return kNaN;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Brute-force windowed statistic over a (ny, nx, ne) field (ne=1 for 2-D),
+// halfwidth h. Window scan order matches the reference's loops
+// (neighbourhood.cpp:566-602): rows, columns, then ensemble members -
+// this order defines the K shift for Std/Variance.
+void nb_brute(const float* in, int64_t ny, int64_t nx, int64_t ne, int stat,
+              double quantile, int64_t h, float* out) {
+    parallel_rows(ny, [&](int64_t y0, int64_t y1) {
+        std::vector<float> buf;
+        buf.reserve((size_t)(2 * h + 1) * (size_t)(2 * h + 1) * (size_t)ne);
+        for (int64_t y = y0; y < y1; y++) {
+            int64_t ys = std::max<int64_t>(0, y - h);
+            int64_t ye = std::min<int64_t>(ny - 1, y + h);
+            for (int64_t x = 0; x < nx; x++) {
+                int64_t xs = std::max<int64_t>(0, x - h);
+                int64_t xe = std::min<int64_t>(nx - 1, x + h);
+                buf.clear();
+                for (int64_t yy = ys; yy <= ye; yy++) {
+                    const float* row = in + (yy * nx + xs) * ne;
+                    for (int64_t c = 0; c < (xe - xs + 1) * ne; c++) {
+                        float v = row[c];
+                        if (valid(v)) buf.push_back(v);
+                    }
+                }
+                out[y * nx + x] =
+                    stat_of(buf.data(), (int64_t)buf.size(), stat, quantile);
+            }
+        }
+    });
+}
+
+// Per-cell quantile levels variant (quantile may be a (ny, nx) field,
+// gridpp.h:1480). NaN level -> NaN output.
+void nb_brute_quantile_field(const float* in, int64_t ny, int64_t nx,
+                             int64_t ne, const float* qfield, int64_t h,
+                             float* out) {
+    parallel_rows(ny, [&](int64_t y0, int64_t y1) {
+        std::vector<float> buf;
+        buf.reserve((size_t)(2 * h + 1) * (size_t)(2 * h + 1) * (size_t)ne);
+        for (int64_t y = y0; y < y1; y++) {
+            int64_t ys = std::max<int64_t>(0, y - h);
+            int64_t ye = std::min<int64_t>(ny - 1, y + h);
+            for (int64_t x = 0; x < nx; x++) {
+                float q = qfield[y * nx + x];
+                if (!valid(q)) {
+                    out[y * nx + x] = kNaN;
+                    continue;
+                }
+                int64_t xs = std::max<int64_t>(0, x - h);
+                int64_t xe = std::min<int64_t>(nx - 1, x + h);
+                buf.clear();
+                for (int64_t yy = ys; yy <= ye; yy++) {
+                    const float* row = in + (yy * nx + xs) * ne;
+                    for (int64_t c = 0; c < (xe - xs + 1) * ne; c++) {
+                        float v = row[c];
+                        if (valid(v)) buf.push_back(v);
+                    }
+                }
+                out[y * nx + x] = stat_of(buf.data(), (int64_t)buf.size(),
+                                          kQuantile, (double)q);
+            }
+        }
+    });
+}
+
+namespace {
+
+// gridpp interpolate (util.cpp:377-432) on one value against a sorted
+// curve of length c (flat-interval averaging rules included).
+inline float interp_curve(float x, const float* xp, const float* yp,
+                          int64_t c) {
+    if (!std::isfinite(x)) return kNaN;
+    if (x > xp[c - 1]) return yp[c - 1];
+    if (x < xp[0]) return yp[0];
+    const float* lb = std::lower_bound(xp, xp + c, x);   // first >= x
+    const float* ub = std::upper_bound(xp, xp + c, x);   // first > x
+    int64_t left = lb - xp;
+    int64_t right = ub - xp;
+    bool has_exact = right > left;
+    int64_t i0 = has_exact ? left : left - 1;
+    int64_t i1 = has_exact ? right - 1 : right;
+    int64_t i0c = std::min(std::max<int64_t>(i0, 0), c - 1);
+    int64_t i1c = std::min(std::max<int64_t>(i1, 0), c - 1);
+    float x0 = xp[i0c], x1 = xp[i1c];
+    float y0 = yp[i0c], y1 = yp[i1c];
+    if (x0 == x1) {
+        if (i0 == 0 && i1 == c - 1) return (y0 + y1) / 2;
+        if (i0 == 0) return y1;
+        if (i1 == c - 1) return y0;
+        return (y0 + y1) / 2;
+    }
+    return y0 + (y1 - y0) * (x - x0) / (x1 - x0);
+}
+
+// gridpp Extrapolation enum values (constants.py / gridpp.h:79-86)
+enum Policy {
+    kOneToOne = 0, kMeanSlope = 10, kNearestSlope = 20, kZero = 30,
+    kUnchanged = 40
+};
+
+inline float extrapolate(float x, int policy, int64_t c, float nearest_r,
+                         float nearest_f, float d_r, float d_f, float lo_r,
+                         float hi_r, float lo_f, float hi_f) {
+    if (policy == kUnchanged) return x;
+    float slope;
+    if (policy == kZero) slope = 0.0f;
+    else if (policy == kOneToOne || c <= 1) slope = 1.0f;
+    else if (policy == kMeanSlope) slope = (hi_r - lo_r) / (hi_f - lo_f);
+    else slope = d_r / d_f;  // kNearestSlope
+    return nearest_r + slope * (x - nearest_f);
+}
+
+inline float apply_one(float x, const float* cr, const float* cf, int64_t c,
+                       int pb, int pa) {
+    if (!std::isfinite(x)) return kNaN;
+    float lo_f = cf[0], hi_f = cf[c - 1];
+    float lo_r = cr[0], hi_r = cr[c - 1];
+    float bdr = 1, bdf = 1, adr = 1, adf = 1;
+    if (c >= 2) {
+        bdr = cr[1] - cr[0];
+        bdf = cf[1] - cf[0];
+        adr = cr[c - 1] - cr[c - 2];
+        adf = cf[c - 1] - cf[c - 2];
+    }
+    if (x < lo_f)
+        return extrapolate(x, pb, c, lo_r, lo_f, bdr, bdf, lo_r, hi_r, lo_f,
+                           hi_f);
+    if (x > hi_f)
+        return extrapolate(x, pa, c, hi_r, hi_f, adr, adf, lo_r, hi_r, lo_f,
+                           hi_f);
+    return interp_curve(x, cf, cr, c);
+}
+
+}  // namespace
+
+// apply_curve with one shared curve (curve.cpp:6-103).
+//
+// The searches use a bucketized index over the sorted curve x-axis:
+// table[b] = first curve index at or past bucket b's left edge, so each
+// value needs one multiply plus a short local scan instead of two
+// binary searches (that alone is ~7x on a 2000-point curve).
+void apply_curve_1d(const float* fcst, int64_t n, const float* curve_ref,
+                    const float* curve_fcst, int64_t c, int pb, int pa,
+                    float* out) {
+    const float* cf = curve_fcst;
+    const float* cr = curve_ref;
+    const float lo = cf[0], hi = cf[c - 1];
+    const int64_t nb = std::min<int64_t>(4 * c, 1 << 16);
+    const double invw = (hi > lo) ? (double)nb / ((double)hi - (double)lo)
+                                  : 0.0;
+    std::vector<int32_t> table;
+    if (invw > 0) {
+        table.resize(nb + 1);
+        int64_t i = 0;
+        for (int64_t b = 0; b <= nb; b++) {
+            double edge = (double)lo + (double)b / invw;
+            while (i < c && (double)cf[i] < edge) i++;
+            table[b] = (int32_t)i;
+        }
+    }
+    parallel_rows(n, [&](int64_t s, int64_t e) {
+        for (int64_t j = s; j < e; j++) {
+            float x = fcst[j];
+            if (!std::isfinite(x) || x < lo || x > hi || invw <= 0) {
+                out[j] = apply_one(x, cr, cf, c, pb, pa);
+                continue;
+            }
+            int64_t b = (int64_t)(((double)x - (double)lo) * invw);
+            b = std::min(std::max<int64_t>(b, 0), nb);
+            int64_t left = table[b];
+            while (left > 0 && cf[left - 1] >= x) left--;
+            while (left < c && cf[left] < x) left++;
+            int64_t right = left;
+            while (right < c && cf[right] <= x) right++;
+            // interp_curve's body with the bounds precomputed
+            bool has_exact = right > left;
+            int64_t i0 = has_exact ? left : left - 1;
+            int64_t i1 = has_exact ? right - 1 : right;
+            int64_t i0c = std::min(std::max<int64_t>(i0, 0), c - 1);
+            int64_t i1c = std::min(std::max<int64_t>(i1, 0), c - 1);
+            float x0 = cf[i0c], x1 = cf[i1c];
+            float y0 = cr[i0c], y1 = cr[i1c];
+            if (x0 == x1) {
+                if (i0 == 0 && i1 == c - 1) out[j] = (y0 + y1) / 2;
+                else if (i0 == 0) out[j] = y1;
+                else if (i1 == c - 1) out[j] = y0;
+                else out[j] = (y0 + y1) / 2;
+            } else {
+                out[j] = y0 + (y1 - y0) * (x - x0) / (x1 - x0);
+            }
+        }
+    });
+}
+
+// apply_curve with per-cell curves, cell-major (curve.cpp:105-133).
+void apply_curve_percell(const float* fcst, int64_t n, const float* curve_ref,
+                         const float* curve_fcst, int64_t c, int pb, int pa,
+                         float* out) {
+    parallel_rows(n, [&](int64_t s, int64_t e) {
+        for (int64_t i = s; i < e; i++)
+            out[i] = apply_one(fcst[i], curve_ref + i * c, curve_fcst + i * c,
+                               c, pb, pa);
+    });
+}
+
+// Conditional neighbourhood mean with the reference's scan-order fallback
+// (neighbourhood_search.cpp:7-113; see ops/search.py for the rules).
+void nb_search(const float* arr, const float* search, int64_t ny, int64_t nx,
+               int64_t h, float tmin, float tmax, float delta,
+               const float* apply, int use_apply, float* out) {
+    parallel_rows(ny, [&](int64_t y0, int64_t y1) {
+        for (int64_t y = y0; y < y1; y++) {
+            int64_t ys = std::max<int64_t>(0, y - h);
+            int64_t ye = std::min<int64_t>(ny - 1, y + h);
+            for (int64_t x = 0; x < nx; x++) {
+                float center = search[y * nx + x];
+                float self = arr[y * nx + x];
+                if (!valid(center) || (use_apply && apply[y * nx + x] != 1)) {
+                    out[y * nx + x] = self;
+                    continue;
+                }
+                int64_t xs = std::max<int64_t>(0, x - h);
+                int64_t xe = std::min<int64_t>(nx - 1, x + h);
+                int64_t counter = 0;
+                double sum = 0;
+                double best = std::numeric_limits<double>::infinity();
+                float best_val = kNaN;
+                bool has_fb = false;
+                for (int64_t yy = ys; yy <= ye; yy++) {
+                    const float* srow = search + yy * nx;
+                    const float* arow = arr + yy * nx;
+                    for (int64_t xx = xs; xx <= xe; xx++) {
+                        float sv = srow[xx];
+                        float av = arow[xx];
+                        if (!valid(sv) || !valid(av)) continue;
+                        if (sv >= tmin && sv <= tmax) {
+                            counter++;
+                            sum += av;
+                        } else if (counter > 0) {
+                            continue;
+                        } else if (std::fabs(sv - center) >= delta) {
+                            double d = std::min(std::fabs(sv - tmin),
+                                                std::fabs(sv - tmax));
+                            if (d < best) {
+                                best = d;
+                                best_val = av;
+                                has_fb = true;
+                            }
+                        }
+                    }
+                }
+                out[y * nx + x] = counter > 0 ? (float)(sum / (double)counter)
+                                  : (has_fb ? best_val : self);
+            }
+        }
+    });
+}
+
+// doping_square (reference src/api/doping.cpp:5-48): write each
+// observation over a clipped square footprint around its nearest cell,
+// optionally gated by elevation difference. Sequential by construction:
+// later points overwrite earlier ones.
+void doping_square(const int64_t* cy, const int64_t* cx, const float* obs,
+                   const int64_t* hw, const float* pelev, const float* gelev,
+                   int64_t np_, int64_t ny, int64_t nx, int check_elev,
+                   float max_diff, float* out) {
+    for (int64_t i = 0; i < np_; i++) {
+        int64_t y0 = std::max<int64_t>(0, cy[i] - hw[i]);
+        int64_t y1 = std::min<int64_t>(ny - 1, cy[i] + hw[i]);
+        int64_t x0 = std::max<int64_t>(0, cx[i] - hw[i]);
+        int64_t x1 = std::min<int64_t>(nx - 1, cx[i] + hw[i]);
+        float v = obs[i];
+        float pe = pelev[i];
+        for (int64_t y = y0; y <= y1; y++) {
+            float* orow = out + y * nx;
+            const float* erow = gelev + y * nx;
+            if (check_elev) {
+                for (int64_t x = x0; x <= x1; x++)
+                    if (std::fabs(pe - erow[x]) <= max_diff) orow[x] = v;
+            } else {
+                for (int64_t x = x0; x <= x1; x++) orow[x] = v;
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -75,6 +75,23 @@ from .api.neighbourhood import (  # noqa: F401
     neighbourhood_quantile_ens_fast, neighbourhood_quantile_fast,
 )
 
+# ---- Host execution pinning ------------------------------------------
+# The parity (numpy-in/numpy-out) API executes on the host XLA:CPU
+# backend; TPU serving goes through the device entry points
+# (gridpp_tpu.ops, Pipeline, gridpp_tpu.parallel), which run the same
+# jitted ops on accelerator-resident arrays. See api._common.pin_host.
+import types as _types
+
+from .api._common import pin_host as _pin_host
+
+for _name, _obj in list(globals().items()):
+    if (isinstance(_obj, _types.FunctionType)
+            and not _name.startswith("_")
+            and _obj.__module__.startswith("gridpp_tpu.api")):
+        globals()[_name] = _pin_host(_obj)
+del _name, _obj
+
+
 # SWIG-style static-method aliases kept for parity with the bindings
 KDTree_calc_distance = KDTree.calc_distance
 KDTree_calc_distance_fast = KDTree.calc_distance_fast

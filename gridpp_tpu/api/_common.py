@@ -50,3 +50,50 @@ def check_same_shape(a, b, msg):
 
 def to_numpy(x):
     return np.asarray(x)
+
+
+_CPU_DEVICE = None
+
+
+def cpu_device():
+    """The host XLA:CPU device (always present alongside any accelerator)."""
+    global _CPU_DEVICE
+    if _CPU_DEVICE is None:
+        import jax
+        _CPU_DEVICE = jax.devices("cpu")[0]
+    return _CPU_DEVICE
+
+
+def on_host() -> bool:
+    """True when execution is pinned to the host CPU backend (inside a
+    pin_host-wrapped API call, or when CPU is the platform anyway)."""
+    import jax
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "cpu"
+    return jax.default_backend() == "cpu"
+
+
+def pin_host(fn):
+    """Pin a parity-API function's XLA execution to the host CPU backend.
+
+    The numpy-in/numpy-out API contract is host memory, like the reference's
+    SWIG bindings; its ops therefore compile and run on XLA:CPU. Device
+    entry points (gridpp_tpu.ops, Pipeline, gridpp_tpu.parallel) call the
+    same jitted functions with device-resident arrays and compile for the
+    accelerator - the jit cache keys on placement, so both coexist.
+    Without this pin, every numpy API call would round-trip the
+    host<->accelerator link (55 MB/s up / 31 MB/s down over the axon
+    tunnel), losing to the reference's in-process CPU loops on any
+    transfer-bound operator.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        import jax
+        with jax.default_device(cpu_device()):
+            return fn(*args, **kwargs)
+
+    wrapper.__wrapped_host_pin__ = True
+    return wrapper

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from ..constants import MV, Metric
 from ..ops import curves as ops
+from .. import native
 from ._common import asarray_f32
 
 __all__ = [
@@ -40,10 +41,12 @@ def apply_curve(fcst, curve_ref, curve_fcst, policy_below, policy_above):
             raise ValueError("Fcst and curve_ref dimension sizes mismatch")
     else:
         _check_curve(curve_ref, curve_fcst)
-    out = ops.apply_curve(jnp.asarray(fcst), jnp.asarray(curve_ref),
-                          jnp.asarray(curve_fcst), int(policy_below),
-                          int(policy_above))
-    out = np.asarray(out)
+    out = native.apply_curve(fcst, curve_ref, curve_fcst, int(policy_below),
+                             int(policy_above))
+    if out is None:
+        out = np.asarray(ops.apply_curve(
+            jnp.asarray(fcst), jnp.asarray(curve_ref),
+            jnp.asarray(curve_fcst), int(policy_below), int(policy_above)))
     return float(out[0]) if scalar else out
 
 

@@ -10,6 +10,7 @@ import numpy as np
 from ..constants import MV
 from ..core.grid import Grid
 from ..core.points import Points
+from .. import native
 from ._common import asarray_f32, check_grid_compatible
 
 __all__ = ["fill", "fill_missing", "doping_square", "doping_circle"]
@@ -118,18 +119,48 @@ def doping_square(igrid: Grid, background, points: Points, observations,
             "All halfwidth must be greater than or equal to 0")
     ny, nx = output.shape
     check_elev = np.isfinite(max_elev_diff)
-    nn = igrid.nearest_map(points.lats, points.lons)
-    ielevs = igrid.elevs
-    for i in range(points.size()):
-        cy, cx = divmod(int(nn[i]), nx)
-        y0, y1 = max(0, cy - hw[i]), min(ny - 1, cy + hw[i])
-        x0, x1 = max(0, cx - hw[i]), min(nx - 1, cx + hw[i])
-        patch = np.s_[y0:y1 + 1, x0:x1 + 1]
-        if check_elev:
-            ok = np.abs(points.elevs[i] - ielevs[patch]) <= max_elev_diff
-            output[patch] = np.where(ok, obs[i], output[patch])
-        else:
-            output[patch] = obs[i]
+    nn = igrid.nearest_map(points.lats, points.lons).astype(np.int64)
+    n_pts = points.size()
+    if n_pts == 0:
+        return output
+    cy, cx = np.divmod(nn, nx)
+
+    if output.flags.c_contiguous and native.doping_square(
+            cy, cx, obs, hw, points.elevs, igrid.elevs, ny, nx,
+            bool(check_elev), float(max_elev_diff) if check_elev else 0.0,
+            output):
+        return output
+
+    def _pairs(sel, w):
+        """(cells, point_ids) for every (point, footprint-cell) pair of the
+        selected points, point-major (C ravel order preserves the
+        reference's serial overwrite order: doping.cpp:5-48)."""
+        d = np.arange(-w, w + 1, dtype=np.int64)
+        yy = np.clip(cy[sel, None, None] + d[None, :, None], 0, ny - 1)
+        xx = np.clip(cx[sel, None, None] + d[None, None, :], 0, nx - 1)
+        cells = (yy * nx + xx).reshape(len(sel), -1)
+        pids = np.broadcast_to(sel[:, None], cells.shape)
+        return cells.ravel(), pids.ravel()
+
+    uniq = np.unique(hw)
+    if uniq.size == 1:
+        cells, pids = _pairs(np.arange(n_pts), int(uniq[0]))
+    else:
+        parts = [_pairs(np.nonzero(hw == w)[0], int(w)) for w in uniq]
+        cells = np.concatenate([p[0] for p in parts])
+        pids = np.concatenate([p[1] for p in parts])
+        # Restore global point order so that later points overwrite
+        order = np.argsort(pids, kind="stable")
+        cells = cells[order]
+        pids = pids[order]
+    if check_elev:
+        ok = np.abs(points.elevs[pids]
+                    - igrid.elevs.reshape(-1)[cells]) <= max_elev_diff
+        cells = cells[ok]
+        pids = pids[ok]
+    # Sequential fancy assignment: duplicate cells resolve to the LAST
+    # pair, i.e. the highest point index - the reference's loop order
+    output.reshape(-1)[cells] = obs[pids]
     return output
 
 

@@ -7,6 +7,7 @@ import numpy as np
 from ..constants import MV, Statistic
 from ..ops import neighbourhood as ops
 from ..ops import stats as stats_ops
+from .. import native
 from ._common import asarray_f32
 
 __all__ = [
@@ -68,12 +69,23 @@ def neighbourhood(input, halfwidth, statistic):
             return _random_choice_window(flat2.astype(np.float32),
                                          int(halfwidth))
         flat = stats_ops.nan_statistic(jnp.asarray(input), statistic, axis=-1)
+        if statistic == Statistic.Median:
+            host = native.nb_brute(np.asarray(flat), int(halfwidth),
+                                   statistic)
+            if host is not None:
+                return host
         out = ops.neighbourhood(flat, int(halfwidth), statistic)
         return np.asarray(out)
     if input.ndim != 2:
         raise ValueError("input must be 2D or 3D")
     if statistic == Statistic.RandomChoice:
         return _random_choice_window(input, int(halfwidth))
+    if statistic == Statistic.Median:
+        # The fast dispatch has no O(1) path for Median; use the native
+        # brute kernel (neighbourhood.cpp:236-238 falls back the same way)
+        host = native.nb_brute(input, int(halfwidth), statistic)
+        if host is not None:
+            return host
     out = ops.neighbourhood(jnp.asarray(input), int(halfwidth), statistic)
     return np.asarray(out)
 
@@ -97,6 +109,11 @@ def neighbourhood_brute_force(input, halfwidth, statistic):
             out = np.take_along_axis(stack, r[..., None], axis=-1)[..., 0]
             return np.where(n > 0, out, np.nan).astype(np.float32)
         return _random_choice_window(input, int(halfwidth))
+    if input.ndim not in (2, 3):
+        raise ValueError("input must be 2D or 3D")
+    host = native.nb_brute(input, int(halfwidth), statistic)
+    if host is not None:
+        return host
     if input.ndim == 2:
         out = ops.neighbourhood_brute_force(jnp.asarray(input),
                                             int(halfwidth), statistic)
@@ -118,14 +135,18 @@ def neighbourhood_quantile(input, quantile, halfwidth):
     input = asarray_f32(input)
     if input.size == 0:
         return np.zeros((0, 0), np.float32)
+    if input.ndim not in (2, 3):
+        raise ValueError("input must be 2D or 3D")
+    host = native.nb_brute(input, int(halfwidth), int(Statistic.Quantile),
+                           quantile)
+    if host is not None:
+        return host
     if input.ndim == 2:
         out = ops.neighbourhood_quantile(jnp.asarray(input), quantile,
                                          int(halfwidth))
-    elif input.ndim == 3:
+    else:
         out = ops.neighbourhood_quantile_ens(jnp.asarray(input), quantile,
                                              int(halfwidth))
-    else:
-        raise ValueError("input must be 2D or 3D")
     return np.asarray(out)
 
 

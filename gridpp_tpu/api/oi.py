@@ -13,7 +13,7 @@ from ..constants import MV
 from ..core.grid import Grid
 from ..core.points import Points
 from ..ops.oi import make_oi_dense_sweep, make_oi_kernel
-from ._common import asarray_f32
+from ._common import asarray_f32, on_host
 
 __all__ = ["optimal_interpolation", "optimal_interpolation_full"]
 
@@ -32,15 +32,20 @@ def _point_fields(xyz, elevs, lafs, idx=None):
             "laf": lafs[idx].astype(np.float64)}
 
 
+_BALL_QUERY_MAX = 262_144
+
+
 def _candidates(bpoints: Points, opts: Points, loc, max_points):
     """Padded in-radius candidate lists (cand, mask) or None when empty.
 
-    Small problems use the exact ball query. Large grids use capped
+    Small problems use the exact ball query. Large grids use
     k-nearest-within-radius, which returns dense numpy arrays straight
     from the tree (the ball query would materialize millions of Python
-    lists). The cap is exact whenever rho is monotone in distance (no
-    elev/laf kernel active, the common production case); otherwise the
-    4x max_points margin makes misses unlikely.
+    lists) - and k is GROWN until every gridpoint's k-th neighbour lies
+    beyond its localization radius, so the shortlist provably contains
+    every in-radius observation. This keeps top-rho selection exact even
+    when elev/laf kernels make rho non-monotone in distance
+    (reference semantics: oi.cpp:233-281).
     """
     n = bpoints.size()
     loc = np.asarray(loc, np.float64)
@@ -57,7 +62,7 @@ def _candidates(bpoints: Points, opts: Points, loc, max_points):
         return cache[key]
     obs_tree = opts.index.tree
     bxyz = bpoints.xyz
-    if n <= 262_144:
+    if n <= _BALL_QUERY_MAX:
         if loc.size and np.all(loc == loc.ravel()[0]):
             lists = obs_tree.query_ball_point(bxyz, r=float(loc.ravel()[0]),
                                               workers=-1)
@@ -84,6 +89,29 @@ def _candidates(bpoints: Points, opts: Points, loc, max_points):
         if k_cand == 1:
             dist = dist[:, None]
             cand = cand[:, None]
+        # Exactness: a row's shortlist is complete once its k-th neighbour
+        # distance exceeds its localization radius (an infinite k-th
+        # distance means fewer than k obs exist within rmax). Re-query the
+        # incomplete rows with a larger k until all rows are complete.
+        if k_cand < n_obs:
+            locv = loc if loc.ndim else np.full(n, float(loc))
+            incomplete = np.nonzero(dist[:, -1] <= locv)[0]
+            while incomplete.size and k_cand < n_obs:
+                k_new = min(4 * k_cand, n_obs)
+                d2, c2 = obs_tree.query(bxyz[incomplete], k=k_new,
+                                        distance_upper_bound=rmax,
+                                        workers=-1)
+                grow = k_new - k_cand
+                dist = np.pad(dist, ((0, 0), (0, grow)),
+                              constant_values=np.inf)
+                cand = np.pad(cand, ((0, 0), (0, grow)),
+                              constant_values=n_obs)
+                dist[incomplete] = d2
+                cand[incomplete] = c2
+                k_cand = k_new
+                if k_cand >= n_obs:
+                    break
+                incomplete = incomplete[d2[:, -1] <= locv[incomplete]]
         mask = dist <= loc[:, None]
         cand = np.where(mask, cand, 0).astype(np.int32)
         if not mask.any():
@@ -149,7 +177,11 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     # against every observation on device (no host spatial query, no
     # candidate arrays over the host-device link). Every structure zeroes
     # rho beyond its localization distance, so rho>0 == the radius query.
-    if 0 < opts.size() <= 32768 and n * opts.size() > 4_000_000:
+    # On the host (the pinned numpy API) the cached cKDTree shortlist is
+    # far cheaper than an all-pairs rho sweep, so the dense path is
+    # accelerator-only.
+    if (not on_host() and 0 < opts.size() <= 32768
+            and n * opts.size() > 4_000_000):
         return _oi_points_dense(bpoints, background, bvariance, opts,
                                 pobs_k, pratios_k, pbg_k, structure,
                                 max_points, allow_extrapolation, output,

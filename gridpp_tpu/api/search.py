@@ -9,6 +9,7 @@ from ..constants import MV
 from ..core.grid import Grid
 from ..core.points import Points
 from ..ops.search import neighbourhood_search as search_op
+from .. import native
 from ._common import asarray_f32
 from .oi import _candidates, _resolved_fields
 
@@ -33,6 +34,13 @@ def neighbourhood_search(array, search_array, halfwidth, search_target_min,
         if apply_array.shape != array.shape:
             raise ValueError(
                 "apply_array must either be empty or same size as array")
+    host = native.nb_search(array, search_array, int(halfwidth),
+                            float(search_target_min),
+                            float(search_target_max), float(search_delta),
+                            apply_array if use_apply else None)
+    if host is not None:
+        return host
+    if use_apply:
         apply_j = jnp.asarray(apply_array.astype(np.int32))
     else:
         apply_j = jnp.zeros(array.shape, jnp.int32)

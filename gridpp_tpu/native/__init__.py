@@ -17,24 +17,28 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "csrc",
-    "gridpp_native.cpp")
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_SRCS = [os.path.join(_CSRC, "gridpp_native.cpp"),
+         os.path.join(_CSRC, "gridpp_kernels.cpp")]
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "_gridpp_native.so")
 
 
 def _build() -> str | None:
+    srcs = [s for s in _SRCS if os.path.exists(s)]
+    if not srcs:
+        return _SO if os.path.exists(_SO) else None
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= \
-            os.path.getmtime(_SRC):
+            max(os.path.getmtime(s) for s in srcs):
         return _SO
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           "-o", _SO, _SRC]
+           "-o", _SO] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO
     except Exception:
-        return None
+        return _SO if os.path.exists(_SO) else None
 
 
 def get_lib():
@@ -44,8 +48,6 @@ def get_lib():
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SRC):
-            return None
         so = _build()
         if so is None:
             return None
@@ -53,6 +55,23 @@ def get_lib():
             lib = ctypes.CDLL(so)
         except OSError:
             return None
+        c_p = ctypes.c_void_p
+        c_i64 = ctypes.c_int64
+        c_i32 = ctypes.c_int32
+        c_f32 = ctypes.c_float
+        c_f64 = ctypes.c_double
+        lib.nb_brute.argtypes = [c_p, c_i64, c_i64, c_i64, c_i32, c_f64,
+                                 c_i64, c_p]
+        lib.nb_brute_quantile_field.argtypes = [c_p, c_i64, c_i64, c_i64,
+                                                c_p, c_i64, c_p]
+        lib.apply_curve_1d.argtypes = [c_p, c_i64, c_p, c_p, c_i64, c_i32,
+                                       c_i32, c_p]
+        lib.apply_curve_percell.argtypes = [c_p, c_i64, c_p, c_p, c_i64,
+                                            c_i32, c_i32, c_p]
+        lib.nb_search.argtypes = [c_p, c_p, c_i64, c_i64, c_i64, c_f32,
+                                  c_f32, c_f32, c_p, c_i32, c_p]
+        lib.doping_square.argtypes = [c_p, c_p, c_p, c_p, c_p, c_p, c_i64,
+                                      c_i64, c_i64, c_i32, c_f32, c_p]
         lib.index_build.restype = ctypes.c_void_p
         lib.index_build.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_double]
@@ -119,3 +138,107 @@ class NativeIndex:
                                      q.shape[0], float(radius),
                                      out.ctypes.data_as(ctypes.c_void_p))
         return out
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def _f32c(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def nb_brute(values: np.ndarray, halfwidth: int, stat: int,
+             quantile: float = 0.5) -> np.ndarray | None:
+    """Brute-force windowed statistic; values (Y, X) or (Y, X, E).
+
+    Returns None when the native engine is unavailable (callers fall back
+    to the XLA path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = _f32c(values)
+    ny, nx = v.shape[0], v.shape[1]
+    ne = v.shape[2] if v.ndim == 3 else 1
+    out = np.empty((ny, nx), np.float32)
+    lib.nb_brute(_ptr(v), ny, nx, ne, int(stat), float(quantile),
+                 int(halfwidth), _ptr(out))
+    return out
+
+
+def nb_brute_quantile_field(values: np.ndarray, qfield: np.ndarray,
+                            halfwidth: int) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = _f32c(values)
+    q = _f32c(qfield)
+    ny, nx = v.shape[0], v.shape[1]
+    ne = v.shape[2] if v.ndim == 3 else 1
+    out = np.empty((ny, nx), np.float32)
+    lib.nb_brute_quantile_field(_ptr(v), ny, nx, ne, _ptr(q),
+                                int(halfwidth), _ptr(out))
+    return out
+
+
+def apply_curve(fcst: np.ndarray, curve_ref: np.ndarray,
+                curve_fcst: np.ndarray, policy_below: int,
+                policy_above: int) -> np.ndarray | None:
+    """apply_curve on the host; curves 1-D (shared) or (..., C) per-cell."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = _f32c(fcst)
+    cr = _f32c(curve_ref)
+    cf = _f32c(curve_fcst)
+    out = np.empty(f.shape, np.float32)
+    if cr.ndim == 1:
+        lib.apply_curve_1d(_ptr(f), f.size, _ptr(cr), _ptr(cf), cr.shape[-1],
+                           int(policy_below), int(policy_above), _ptr(out))
+    else:
+        if cr.shape[:-1] != f.shape:
+            return None
+        lib.apply_curve_percell(_ptr(f), f.size, _ptr(cr), _ptr(cf),
+                                cr.shape[-1], int(policy_below),
+                                int(policy_above), _ptr(out))
+    return out
+
+
+def doping_square(cy: np.ndarray, cx: np.ndarray, obs: np.ndarray,
+                  hw: np.ndarray, pelev: np.ndarray, gelev: np.ndarray,
+                  ny: int, nx: int, check_elev: bool, max_diff: float,
+                  out: np.ndarray) -> bool:
+    """In-place square doping over `out` (ny, nx). Returns False when the
+    native engine is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    cy = np.ascontiguousarray(cy, np.int64)
+    cx = np.ascontiguousarray(cx, np.int64)
+    obs = _f32c(obs)
+    hw = np.ascontiguousarray(hw, np.int64)
+    pelev = _f32c(pelev)
+    gelev = _f32c(gelev)
+    lib.doping_square(_ptr(cy), _ptr(cx), _ptr(obs), _ptr(hw), _ptr(pelev),
+                      _ptr(gelev), cy.size, int(ny), int(nx),
+                      int(check_elev), float(max_diff), _ptr(out))
+    return True
+
+
+def nb_search(array: np.ndarray, search_array: np.ndarray, halfwidth: int,
+              target_min: float, target_max: float, delta: float,
+              apply_array: np.ndarray | None) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = _f32c(array)
+    s = _f32c(search_array)
+    ny, nx = a.shape
+    use_apply = apply_array is not None
+    ap = _f32c(apply_array) if use_apply else a
+    out = np.empty((ny, nx), np.float32)
+    lib.nb_search(_ptr(a), _ptr(s), ny, nx, int(halfwidth),
+                  float(target_min), float(target_max), float(delta),
+                  _ptr(ap), int(use_apply), _ptr(out))
+    return out

@@ -57,9 +57,9 @@ def main():
     s = args.scaling
 
     import jax
-    import jax.numpy as jnp
-    np.asarray(jnp.ones(1))  # device init + first D2H (slow on tunnel)
     import gridpp_tpu as gridpp
+    # The parity API is host-pinned (XLA:CPU); warm that backend up.
+    np.asarray(jax.device_put(np.ones(1), jax.devices("cpu")[0]))
 
     rng = np.random.default_rng(1000)
     radius = 7

@@ -1,0 +1,168 @@
+"""Host (C++/XLA:CPU) vs device-op parity.
+
+The parity numpy API runs on the host: three operators use native C++
+kernels (csrc/gridpp_kernels.cpp) and the rest run the jitted ops on
+XLA:CPU. The same jitted ops are the device entry points, so these tests
+pin the two implementations against each other on NaN-laden random fields
+(the reference's own cross-implementation strategy,
+tests/test_neighbourhood.py:76-127 there).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gridpp_tpu as gridpp
+from gridpp_tpu import native
+from gridpp_tpu.constants import Statistic, Extrapolation
+from gridpp_tpu.ops import neighbourhood as nops
+from gridpp_tpu.ops import curves as cops
+from gridpp_tpu.ops import search as sops
+
+
+def _field(shape, seed=0, nan_frac=0.15):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 10, shape).astype(np.float32)
+    x[rng.random(shape) < nan_frac] = np.nan
+    return x
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_native():
+    if native.get_lib() is None:
+        pytest.skip("native engine unavailable")
+
+
+class TestNbBrute:
+    @pytest.mark.parametrize("stat", [Statistic.Mean, Statistic.Min,
+                                      Statistic.Median, Statistic.Max,
+                                      Statistic.Std, Statistic.Variance,
+                                      Statistic.Sum, Statistic.Count])
+    @pytest.mark.parametrize("h", [0, 1, 3])
+    def test_2d(self, stat, h):
+        x = _field((17, 23), seed=int(stat) + h)
+        host = native.nb_brute(x, h, int(stat))
+        dev = np.asarray(nops.neighbourhood_brute_force(
+            jnp.asarray(x), h, int(stat)))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
+    def test_quantile_2d(self, q):
+        x = _field((19, 13), seed=42)
+        host = native.nb_brute(x, 2, int(Statistic.Quantile), q)
+        dev = np.asarray(nops.neighbourhood_quantile(jnp.asarray(x), q, 2))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+    def test_quantile_3d(self):
+        x = _field((9, 11, 4), seed=3)
+        host = native.nb_brute(x, 2, int(Statistic.Quantile), 0.4)
+        dev = np.asarray(nops.neighbourhood_quantile_ens(
+            jnp.asarray(x), 0.4, 2))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+    def test_3d_stat(self):
+        x = _field((9, 11, 4), seed=4)
+        host = native.nb_brute(x, 1, int(Statistic.Mean))
+        dev = np.asarray(nops.neighbourhood_brute_force_ens(
+            jnp.asarray(x), 1, int(Statistic.Mean)))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+    def test_all_nan_window(self):
+        x = np.full((5, 5), np.nan, np.float32)
+        host = native.nb_brute(x, 1, int(Statistic.Mean))
+        assert np.isnan(host).all()
+        host = native.nb_brute(x, 1, int(Statistic.Count))
+        np.testing.assert_array_equal(host, np.zeros((5, 5)))
+
+
+class TestApplyCurve:
+    @pytest.mark.parametrize("pb", [Extrapolation.OneToOne,
+                                    Extrapolation.MeanSlope,
+                                    Extrapolation.NearestSlope,
+                                    Extrapolation.Zero,
+                                    Extrapolation.Unchanged])
+    def test_policies(self, pb):
+        rng = np.random.default_rng(int(pb))
+        cf = np.sort(rng.random(40).astype(np.float32))
+        cr = rng.random(40).astype(np.float32)
+        f = np.concatenate([rng.random(500).astype(np.float32) * 2 - 0.5,
+                            [np.nan, cf[0], cf[-1]]]).astype(np.float32)
+        host = native.apply_curve(f, cr, cf, int(pb), int(pb))
+        dev = np.asarray(cops.apply_curve(jnp.asarray(f), jnp.asarray(cr),
+                                          jnp.asarray(cf), int(pb), int(pb)))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-6)
+
+    def test_repeated_x_flat_rules(self):
+        cf = np.array([0.0, 1.0, 1.0, 2.0, 2.0, 2.0, 3.0], np.float32)
+        cr = np.array([0.0, 2.0, 4.0, 5.0, 6.0, 7.0, 8.0], np.float32)
+        f = np.array([0.5, 1.0, 2.0, 2.5, 0.0, 3.0], np.float32)
+        host = native.apply_curve(f, cr, cf, 0, 0)
+        dev = np.asarray(cops.apply_curve(jnp.asarray(f), jnp.asarray(cr),
+                                          jnp.asarray(cf), 0, 0))
+        np.testing.assert_allclose(host, dev, rtol=1e-6)
+
+    def test_percell_curves(self):
+        rng = np.random.default_rng(7)
+        ny, nx, c = 6, 5, 9
+        cf = np.sort(rng.random((ny, nx, c)).astype(np.float32), axis=-1)
+        cr = rng.random((ny, nx, c)).astype(np.float32)
+        f = rng.random((ny, nx)).astype(np.float32) * 1.4 - 0.2
+        host = native.apply_curve(f, cr, cf, 0, 0)
+        dev = np.asarray(cops.apply_curve(jnp.asarray(f), jnp.asarray(cr),
+                                          jnp.asarray(cf), 0, 0))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-6)
+
+    def test_single_point_curve(self):
+        cf = np.array([1.0], np.float32)
+        cr = np.array([5.0], np.float32)
+        f = np.array([0.5, 1.0, 1.5], np.float32)
+        host = native.apply_curve(f, cr, cf, int(Extrapolation.MeanSlope),
+                                  int(Extrapolation.MeanSlope))
+        dev = np.asarray(cops.apply_curve(
+            jnp.asarray(f), jnp.asarray(cr), jnp.asarray(cf),
+            int(Extrapolation.MeanSlope), int(Extrapolation.MeanSlope)))
+        np.testing.assert_allclose(host, dev, rtol=1e-6)
+
+
+class TestNbSearch:
+    def test_random(self):
+        a = _field((30, 40), seed=1, nan_frac=0.1)
+        s = _field((30, 40), seed=2, nan_frac=0.1)
+        s = np.clip(s / 10 + 0.5, -1, 2).astype(np.float32)
+        host = native.nb_search(a, s, 3, 0.4, 0.8, 0.05, None)
+        dev = np.asarray(sops.neighbourhood_search(
+            jnp.asarray(a), jnp.asarray(s), 3, 0.4, 0.8, 0.05,
+            jnp.zeros(a.shape, jnp.int32), False))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+    def test_apply_mask(self):
+        a = _field((20, 20), seed=5, nan_frac=0.0)
+        s = np.clip(_field((20, 20), seed=6, nan_frac=0.0) / 20 + 0.5,
+                    0, 1).astype(np.float32)
+        mask = (np.random.default_rng(8).random((20, 20)) < 0.5)
+        mask_f = mask.astype(np.float32)
+        host = native.nb_search(a, s, 2, 0.3, 0.7, 0.1, mask_f)
+        dev = np.asarray(sops.neighbourhood_search(
+            jnp.asarray(a), jnp.asarray(s), 2, 0.3, 0.7, 0.1,
+            jnp.asarray(mask.astype(np.int32)), True))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+
+class TestApiUsesHost:
+    """The public API must produce the same results as before (it now
+    routes through the native kernels when available)."""
+
+    def test_neighbourhood_quantile_api(self):
+        x = _field((25, 25), seed=11)
+        out = gridpp.neighbourhood_quantile(x, 0.5, 3)
+        dev = np.asarray(nops.neighbourhood_quantile(jnp.asarray(x), 0.5, 3))
+        np.testing.assert_allclose(out, dev, rtol=1e-5, atol=1e-5)
+
+    def test_apply_curve_api(self):
+        rng = np.random.default_rng(12)
+        cf = np.sort(rng.random(20).astype(np.float32))
+        cr = np.sort(rng.random(20).astype(np.float32))
+        f = rng.random((10, 10)).astype(np.float32)
+        out = gridpp.apply_curve(f, cr, cf, gridpp.OneToOne, gridpp.OneToOne)
+        dev = np.asarray(cops.apply_curve(jnp.asarray(f), jnp.asarray(cr),
+                                          jnp.asarray(cf), 0, 0))
+        np.testing.assert_allclose(out, dev, rtol=1e-5, atol=1e-6)
