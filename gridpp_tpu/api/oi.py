@@ -122,6 +122,51 @@ def _candidates(bpoints: Points, opts: Points, loc, max_points):
     return cand, mask
 
 
+def _candidates_block(bpoints: Points, opts: Points, loc, start, end,
+                      obs_key):
+    """Exact ball-query candidates for one gridpoint block [start, end).
+
+    Used by the host path on large grids: the global padded array would
+    need kmax columns for ALL gridpoints (10+ GB at 2000^2 with a dense
+    network), while per-block arrays stay bounded and cache per block.
+    kmax is rounded up to a power of two so at most a handful of kernel
+    shapes ever compile.
+    """
+    cache = bpoints.__dict__.setdefault("_cand_block_cache", {})
+    key = (obs_key, int(start), int(end))
+    if key in cache:
+        return cache[key]
+    bxyz = bpoints.xyz[start:end]
+    locb = loc[start:end]
+    obs_tree = opts.index.tree
+    if locb.size and np.all(locb == locb.ravel()[0]):
+        lists = obs_tree.query_ball_point(bxyz, r=float(locb.ravel()[0]),
+                                          workers=-1)
+    else:
+        lists = obs_tree.query_ball_point(bxyz, r=locb, workers=-1)
+    counts = np.fromiter((len(l) for l in lists), dtype=np.int64,
+                         count=len(lists))
+    kmax = int(counts.max()) if counts.size else 0
+    if kmax == 0:
+        cache[key] = None
+        return None
+    kpad = 8
+    while kpad < kmax:
+        kpad *= 2
+    nb = end - start
+    cand = np.zeros((nb, kpad), dtype=np.int32)
+    mask = np.zeros((nb, kpad), dtype=bool)
+    for i, lst in enumerate(lists):
+        c = len(lst)
+        if c:
+            cand[i, :c] = lst
+            mask[i, :c] = True
+    if len(cache) > 64:
+        cache.clear()
+    cache[key] = (cand, mask)
+    return cand, mask
+
+
 def _resolved_fields(pts: Points, structure, origin=None) -> dict:
     """Point fields with structure length scales resolved (host).
 
@@ -192,18 +237,28 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     blons = bpoints.lons
     loc = structure.localization_np(blats, blons)
 
-    res = _candidates(bpoints, opts, loc, max_points)
-    if res is None:
-        return output, avar
-    cand, mask = res
+    # On large host grids, candidates are queried (and cached) per block:
+    # a single global padded array needs max-in-radius columns for every
+    # gridpoint, which is GBs at 2000^2 with a dense network.
+    chunked = on_host() and n > _BALL_QUERY_MAX
+    cand_dev = mask_dev = None
+    if not chunked:
+        res = _candidates(bpoints, opts, loc, max_points)
+        if res is None:
+            return output, avar
+        cand, mask = res
+        cand_dev = jnp.asarray(cand)
+        mask_dev = jnp.asarray(mask)
+    obs_key = (opts.size(), hash(opts.lats.tobytes()),
+               hash(opts.lons.tobytes()),
+               float(loc.min()) if loc.size else 0.0,
+               float(loc.max()) if loc.size else 0.0)
     origin = _origin(bpoints)
     p1_all = _device_fields(bpoints, structure, origin)
     o_fields = _device_fields(opts, structure, origin)
     j_obs = jnp.asarray(pobs_k)
     j_bg = jnp.asarray(pbg_k)
     j_ratios = jnp.asarray(pratios_k)
-    cand_dev = jnp.asarray(cand)
-    mask_dev = jnp.asarray(mask)
 
     kernel = make_oi_kernel(structure, int(max_points),
                             bool(allow_extrapolation))
@@ -217,14 +272,25 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     block = _BLOCK
     for start in range(0, n, block):
         end = min(start + block, n)
+        if chunked:
+            res_b = _candidates_block(bpoints, opts, loc, start, end,
+                                      obs_key)
+            if res_b is None:  # no obs in radius for this whole block
+                outs.append(bg_j[start:end])
+                avars.append(bvar_j[start:end])
+                continue
+            cand_j = jnp.asarray(res_b[0])
+            mask_b = jnp.asarray(res_b[1])
+        else:
+            cand_j = cand_dev[start:end]
+            mask_b = mask_dev[start:end]
         p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
-        cand_j = cand_dev[start:end]
         cand_fields = {k: jnp.take(v, cand_j, axis=0)
                        for k, v in o_fields.items()}
         obs_b = jnp.take(j_obs, cand_j, axis=0)
         y_b = jnp.take(j_bg, cand_j, axis=0)
         r_b = jnp.take(j_ratios, cand_j, axis=0)
-        out_b, avar_b = kernel(p1, cand_fields, mask_dev[start:end],
+        out_b, avar_b = kernel(p1, cand_fields, mask_b,
                                bg_j[start:end], bvar_j[start:end],
                                obs_b, y_b, r_b)
         outs.append(out_b)

@@ -10,6 +10,14 @@ from ..ops.oi_ensi import make_ensi_dense_sweep, make_ensi_kernel
 from ._common import asarray_f32
 from .oi import _BLOCK, _candidates, _device_fields, _origin
 
+
+def _warn_condition(count: int):
+    """Report ill-conditioned gridpoints (oi_ensi.cpp:557-561)."""
+    if count > 0:
+        from .. import warning
+        warning(f"Condition number error in {count} points. "
+                "Using raw values in those points.")
+
 __all__ = ["optimal_interpolation_ensi"]
 
 
@@ -88,12 +96,14 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
                               (1 << 27) // max(32 * e_val, 1)))
         kernel = make_ensi_dense_sweep(structure, int(max_points),
                                        bool(allow_extrapolation), block)
-        out_j = kernel(p1_all, o_fields,
-                       jnp.asarray(flat_bg[:, valid_ens]),
-                       jnp.asarray(pobs[kidx]), jnp.asarray(psigmas[kidx]),
-                       jnp.asarray(y_anom[kidx][:, valid_ens]),
-                       jnp.asarray(y_hat[kidx].astype(np.float32)))
+        out_j, cond_bad = kernel(p1_all, o_fields,
+                                 jnp.asarray(flat_bg[:, valid_ens]),
+                                 jnp.asarray(pobs[kidx]),
+                                 jnp.asarray(psigmas[kidx]),
+                                 jnp.asarray(y_anom[kidx][:, valid_ens]),
+                                 jnp.asarray(y_hat[kidx].astype(np.float32)))
         output[:, valid_ens] = np.asarray(out_j)
+        _warn_condition(int(np.asarray(jnp.sum(cond_bad))))
         return output.reshape(background.shape)
 
     loc = structure.localization_np(bpoints.lats, bpoints.lons)
@@ -114,6 +124,7 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
                               bool(allow_extrapolation))
     bg_valid = flat_bg[:, valid_ens]
     outs = []
+    conds = []
     # Adaptive block: the (B, K, E) gathers and batched EXE eigh must fit
     # HBM alongside the field arrays
     k_pad = cand.shape[1]
@@ -125,14 +136,16 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
         p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
         cand_fields = {k: jnp.take(v, cand_j, axis=0)
                        for k, v in o_fields.items()}
-        out_b = kernel(p1, cand_fields, jnp.asarray(mask[start:end]),
-                       jnp.asarray(bg_valid[start:end]),
-                       jnp.take(j_obs, cand_j, axis=0),
-                       jnp.take(j_sig, cand_j, axis=0),
-                       jnp.take(j_yanom, cand_j, axis=0),
-                       jnp.take(j_yhat, cand_j, axis=0))
+        out_b, cond_b = kernel(p1, cand_fields, jnp.asarray(mask[start:end]),
+                               jnp.asarray(bg_valid[start:end]),
+                               jnp.take(j_obs, cand_j, axis=0),
+                               jnp.take(j_sig, cand_j, axis=0),
+                               jnp.take(j_yanom, cand_j, axis=0),
+                               jnp.take(j_yhat, cand_j, axis=0))
         outs.append(out_b)
+        conds.append(cond_b)
     out_valid = np.asarray(jnp.concatenate(outs) if len(outs) > 1
                            else outs[0])
+    _warn_condition(int(sum(int(np.asarray(jnp.sum(c))) for c in conds)))
     output[:, valid_ens] = out_valid
     return output.reshape(background.shape)

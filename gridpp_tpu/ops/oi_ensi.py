@@ -40,10 +40,21 @@ def _ensi_update(structure, sel_valid, l_rho, l_obs, l_sig, l_y, l_yhat,
     pinv = jnp.einsum("bes,bsf->bef", c, l_y,
                       preferred_element_type=jnp.float32) \
         + (e - 1) * jnp.eye(e, dtype=jnp.float32)
-    p = jnp.linalg.inv(pinv)
 
-    eigval, eigvec = jnp.linalg.eigh((e - 1) * p)
-    sq = jnp.sqrt(jnp.maximum(eigval, 0.0))
+    # One eigendecomposition of the SPD Pinv yields P, W = sqrt((E-1)P)
+    # AND the conditioning guard (reference computes rcond + inv + eig_sym
+    # separately, oi_ensi.cpp:386-421): eigenvectors of P equal those of
+    # Pinv with reciprocal eigenvalues. Ill-conditioned points
+    # (lambda_min <= 0 or non-finite) fall back to the raw background and
+    # are counted, matching oi_ensi.cpp:386-390,557-566.
+    eigval, eigvec = jnp.linalg.eigh(pinv)
+    lam_min = eigval[:, 0]
+    lam_max = eigval[:, -1]
+    cond_ok = jnp.isfinite(lam_min) & jnp.isfinite(lam_max) & (lam_min > 0)
+    lam_safe = jnp.where(eigval > 0, eigval, 1.0)
+    p = jnp.einsum("bij,bj,bkj->bik", eigvec, 1.0 / lam_safe, eigvec,
+                   preferred_element_type=jnp.float32)
+    sq = jnp.sqrt((e - 1) / lam_safe)
     w_mat = jnp.einsum("bij,bj,bkj->bik", eigvec, sq, eigvec,
                        preferred_element_type=jnp.float32)
 
@@ -80,9 +91,10 @@ def _ensi_update(structure, sel_valid, l_rho, l_obs, l_sig, l_y, l_yhat,
                                        jnp.where(c4, x, increment))))
 
     analysis = ens_mean[:, None] + increment
-    ok = jnp.any(sel_valid, axis=1) & jnp.all(jnp.isfinite(analysis),
-                                              axis=1)
-    return jnp.where(ok[:, None], analysis, background)
+    any_valid = jnp.any(sel_valid, axis=1)
+    cond_bad = any_valid & ~cond_ok
+    ok = any_valid & cond_ok & jnp.all(jnp.isfinite(analysis), axis=1)
+    return jnp.where(ok[:, None], analysis, background), cond_bad
 
 
 def make_ensi_kernel(structure, max_points: int, allow_extrapolation: bool):
@@ -160,8 +172,8 @@ def make_ensi_dense_sweep(structure, max_points: int,
             return _ensi_update(structure, sel_valid, l_rho, l_obs, l_sig,
                                 l_y, l_yhat, bgc, allow_extrapolation)
 
-        out = jax.lax.map(body, (p1s, bg))
-        return out.reshape(-1, e)[:n]
+        out, cond_bad = jax.lax.map(body, (p1s, bg))
+        return out.reshape(-1, e)[:n], cond_bad.reshape(-1)[:n]
 
     cache[key] = kernel
     return kernel
