@@ -375,6 +375,60 @@ void nb_search(const float* arr, const float* search, int64_t ny, int64_t nx,
     });
 }
 
+// 1-D running-window Mean/Sum/Count along rows of a (ncase, nt) array
+// (reference src/api/window.cpp:6-156; semantics mirror ops/window.py:
+// `before` trailing windows, keep_missing, missing_edges flags).
+void window_run(const float* in, int64_t ncase, int64_t nt, int64_t length,
+                int stat, int before, int keep_missing, int missing_edges,
+                float* out) {
+    parallel_rows(ncase, [&](int64_t r0, int64_t r1) {
+        for (int64_t r = r0; r < r1; r++) {
+            const float* row = in + r * nt;
+            float* orow = out + r * nt;
+            double wsum = 0;
+            int64_t wcnt = 0;
+            int64_t lo = 0, hi = -1;  // current inclusive window [lo, hi]
+            for (int64_t x = 0; x < nt; x++) {
+                int64_t start, end;
+                if (before) {
+                    start = std::max<int64_t>(0, x - length + 1);
+                    end = x;
+                } else {
+                    start = std::max<int64_t>(0, x - length / 2);
+                    end = std::min<int64_t>(nt - 1, x + length / 2);
+                }
+                while (hi < end) {
+                    hi++;
+                    float v = row[hi];
+                    if (valid(v)) { wsum += v; wcnt++; }
+                }
+                while (lo < start) {
+                    float v = row[lo];
+                    if (valid(v)) { wsum -= v; wcnt--; }
+                    lo++;
+                }
+                float o;
+                if (stat == kCount) {
+                    o = (float)wcnt;
+                } else if (wcnt != 0) {
+                    o = stat == kMean ? (float)(wsum / (double)wcnt)
+                                      : (float)wsum;
+                } else {
+                    o = kNaN;
+                }
+                if (stat != kCount) {
+                    if (keep_missing && wcnt < end - start + 1) o = kNaN;
+                    bool edge = before
+                        ? (x < length - 1)
+                        : (x < length / 2 || x + length / 2 + 1 > nt);
+                    if (missing_edges && edge) o = kNaN;
+                }
+                orow[x] = o;
+            }
+        }
+    });
+}
+
 // doping_square (reference src/api/doping.cpp:5-48): write each
 // observation over a clipped square footprint around its nearest cell,
 // optionally gated by elevation difference. Sequential by construction:

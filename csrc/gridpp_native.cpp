@@ -296,6 +296,48 @@ void index_knearest(void* h, const double* q, int64_t nq, int32_t k,
     });
 }
 
+// Sequential circle painter over the indexed point set (reference
+// src/api/fill.cpp:6-41 and doping.cpp:50-93): for query i, every indexed
+// point j within radii[i] gets out[j] = values[i] (or src[j] when src is
+// given - the fill(outside=true) restore mode). Points are processed in
+// order, so later queries overwrite earlier ones exactly like the
+// reference's serial loop. Optional per-point elevation gate.
+void index_paint(void* h, const double* q, int64_t nq, const double* radii,
+                 const float* values, const float* src, const float* pelev,
+                 const float* gelev, int32_t check_elev, float max_diff,
+                 float* out) {
+    const Index& idx = *(Index*)h;
+    for (int64_t j = 0; j < nq; j++) {
+        double qx = q[3 * j], qy = q[3 * j + 1], qz = q[3 * j + 2];
+        double radius = radii[j];
+        double r2 = radius * radius;
+        int64_t c0x, c0y, c0z, c1x, c1y, c1z;
+        idx.cell_of(qx - radius, qy - radius, qz - radius, c0x, c0y, c0z);
+        idx.cell_of(qx + radius, qy + radius, qz + radius, c1x, c1y, c1z);
+        c0x = std::max(c0x, idx.c0[0]); c1x = std::min(c1x, idx.c1[0]);
+        c0y = std::max(c0y, idx.c0[1]); c1y = std::min(c1y, idx.c1[1]);
+        c0z = std::max(c0z, idx.c0[2]); c1z = std::min(c1z, idx.c1[2]);
+        float pe = pelev ? pelev[j] : 0.0f;
+        for (int64_t ix = c0x; ix <= c1x; ix++) {
+            for (int64_t iy = c0y; iy <= c1y; iy++) {
+                for (int64_t iz = c0z; iz <= c1z; iz++) {
+                    auto it = idx.cells.find(idx.key(ix, iy, iz));
+                    if (it == idx.cells.end()) continue;
+                    for (int32_t p = it->second.first;
+                         p < it->second.second; p++) {
+                        int32_t i = idx.order[p];
+                        if (dist2(idx, i, qx, qy, qz) > r2) continue;
+                        if (check_elev &&
+                            std::fabs(pe - gelev[i]) > max_diff)
+                            continue;
+                        out[i] = src ? src[i] : values[j];
+                    }
+                }
+            }
+        }
+    }
+}
+
 void index_radius_count(void* h, const double* q, int64_t nq, double radius,
                         int32_t* out_count) {
     const Index& idx = *(Index*)h;

@@ -56,11 +56,14 @@ _CPU_DEVICE = None
 
 
 def cpu_device():
-    """The host XLA:CPU device (always present alongside any accelerator)."""
+    """THIS process's XLA:CPU device (always present alongside any
+    accelerator). Must be process-local: in a multi-host job
+    jax.devices() lists other hosts' devices too, which are not
+    addressable here."""
     global _CPU_DEVICE
     if _CPU_DEVICE is None:
         import jax
-        _CPU_DEVICE = jax.devices("cpu")[0]
+        _CPU_DEVICE = jax.local_devices(backend="cpu")[0]
     return _CPU_DEVICE
 
 

@@ -32,17 +32,25 @@ def fill(igrid: Grid, input, points: Points, radii, value, outside):
     else:
         output = input.copy()
     flat_out = output.reshape(-1)
-    flat_in = input.reshape(-1)
+    flat_in = np.ascontiguousarray(input.reshape(-1))
     # Per-point radii: query each circle (order matters for overwrites)
-    tree = igrid.index.tree
     from ..core.coords import convert_coordinates_np
     x, y, z = convert_coordinates_np(points.lats, points.lons,
                                      igrid.get_coordinate_type())
     q = np.stack([np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)],
                  axis=-1)
+    nat = igrid.index.native
+    if nat is not None:
+        if outside:
+            nat.paint(q, radii, flat_out, src=flat_in)
+        else:
+            nat.paint(q, radii, flat_out,
+                      values=np.full(points.size(), value, np.float32))
+        return output
+    tree = igrid.index.tree
     for i in range(points.size()):
-        idx = tree.query_ball_point(q[i], r=float(radii[i]))
-        idx = np.asarray(idx, dtype=np.int64)
+        idx = np.asarray(tree.query_ball_point(q[i], r=float(radii[i])),
+                         dtype=np.int64)
         if outside:
             flat_out[idx] = flat_in[idx]
         else:
@@ -176,12 +184,19 @@ def doping_circle(igrid: Grid, background, points: Points, observations,
     check_elev = np.isfinite(max_elev_diff)
     flat_out = output.reshape(-1)
     flat_elev = igrid.elevs.reshape(-1)
-    tree = igrid.index.tree
     from ..core.coords import convert_coordinates_np
     x, y, z = convert_coordinates_np(points.lats, points.lons,
                                      igrid.get_coordinate_type())
     q = np.stack([np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)],
                  axis=-1)
+    nat = igrid.index.native
+    if nat is not None:
+        nat.paint(q, radii, flat_out, values=obs,
+                  pelev=points.elevs if check_elev else None,
+                  gelev=flat_elev if check_elev else None,
+                  max_diff=float(max_elev_diff) if check_elev else 0.0)
+        return output
+    tree = igrid.index.tree
     for i in range(points.size()):
         idx = np.asarray(tree.query_ball_point(q[i], r=float(radii[i])),
                          dtype=np.int64)

@@ -66,6 +66,7 @@ def _common_prep(bpoints, points, structure, max_points, obs_select_valid):
 def _run_blocks(kernel, n, cand, mask, p1_all, o_fields, per_block_args,
                 n_ens=8):
     outs = []
+    cond_count = 0
     k_pad = cand.shape[1]
     block = max(16384, min(_BLOCK, (1 << 27) // max(k_pad * n_ens, 1)))
     for start in range(0, n, block):
@@ -75,8 +76,14 @@ def _run_blocks(kernel, n, cand, mask, p1_all, o_fields, per_block_args,
         cand_fields = {k: jnp.take(v, cand_j, axis=0)
                        for k, v in o_fields.items()}
         args = per_block_args(start, end, cand_j)
-        outs.append(kernel(p1, cand_fields, jnp.asarray(mask[start:end]),
-                           *args))
+        out = kernel(p1, cand_fields, jnp.asarray(mask[start:end]), *args)
+        if isinstance(out, tuple):  # (analysis, cond_bad) kernels
+            out, cond_bad = out
+            cond_count += int(np.asarray(jnp.sum(cond_bad)))
+        outs.append(out)
+    if cond_count:
+        from .oi_ensi import _warn_condition
+        _warn_condition(cond_count)
     return np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
 
 

@@ -4,7 +4,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..constants import Statistic
 from ..ops.window import window as window_op
+from .. import native
 from ._common import asarray_f32
 
 __all__ = ["window"]
@@ -26,6 +28,13 @@ def window(array, length, statistic, before=False, keep_missing=False,
         return np.zeros(array.shape, np.float32)
     if length % 2 == 0 and not before:
         raise ValueError("Length variable must be an odd number")
-    out = window_op(jnp.asarray(array), int(length), int(statistic),
+    statistic = int(statistic)
+    if statistic in (Statistic.Mean, Statistic.Sum, Statistic.Count):
+        host = native.window_run(array, int(length), statistic,
+                                 bool(before), bool(keep_missing),
+                                 bool(missing_edges))
+        if host is not None:
+            return host
+    out = window_op(jnp.asarray(array), int(length), statistic,
                     bool(before), bool(keep_missing), bool(missing_edges))
     return np.asarray(out)

@@ -96,15 +96,15 @@ class SpatialIndex:
         dist = np.atleast_2d(dist)
         idx = np.atleast_2d(idx)
         if not include_match:
-            # Drop entries at chord distance exactly 0 (kdtree.cpp:88-92)
+            # Drop entries at chord distance exactly 0 (kdtree.cpp:88-92):
+            # stable-sort kept entries to the front of each row, then trim
             keep = (dist != 0) & np.isfinite(dist)
-            out_idx = np.full((q.shape[0], k), -1, dtype=np.int64)
-            out_dist = np.full((q.shape[0], k), np.inf)
-            for i in range(q.shape[0]):
-                sel = idx[i][keep[i]][:k]
-                out_idx[i, :len(sel)] = sel
-                out_dist[i, :len(sel)] = dist[i][keep[i]][:k]
-            idx, dist = out_idx, out_dist
+            order = np.argsort(~keep, axis=1, kind="stable")
+            idx2 = np.take_along_axis(idx, order, axis=1)[:, :k]
+            dist2 = np.take_along_axis(dist, order, axis=1)[:, :k]
+            kept2 = np.take_along_axis(keep, order, axis=1)[:, :k]
+            idx = np.where(kept2, idx2, -1).astype(np.int64)
+            dist = np.where(kept2, dist2, np.inf)
         elif kq < k:
             pad_i = np.full((q.shape[0], k - kq), -1, dtype=idx.dtype)
             pad_d = np.full((q.shape[0], k - kq), np.inf)

@@ -72,6 +72,10 @@ def get_lib():
                                   c_f32, c_f32, c_p, c_i32, c_p]
         lib.doping_square.argtypes = [c_p, c_p, c_p, c_p, c_p, c_p, c_i64,
                                       c_i64, c_i64, c_i32, c_f32, c_p]
+        lib.window_run.argtypes = [c_p, c_i64, c_i64, c_i64, c_i32, c_i32,
+                                   c_i32, c_i32, c_p]
+        lib.index_paint.argtypes = [c_p, c_p, c_i64, c_p, c_p, c_p, c_p,
+                                    c_p, c_i32, c_f32, c_p]
         lib.index_build.restype = ctypes.c_void_p
         lib.index_build.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_double]
@@ -138,6 +142,36 @@ class NativeIndex:
                                      q.shape[0], float(radius),
                                      out.ctypes.data_as(ctypes.c_void_p))
         return out
+
+    def paint(self, q: np.ndarray, radii: np.ndarray, out: np.ndarray,
+              values: np.ndarray | None = None,
+              src: np.ndarray | None = None,
+              pelev: np.ndarray | None = None,
+              gelev: np.ndarray | None = None,
+              max_diff: float = 0.0) -> None:
+        """Sequential circle scatter onto the indexed points (in-place).
+
+        For query i, indexed points within radii[i] get values[i] (or
+        src[point] when src is given). Optional elevation gate when
+        pelev/gelev are given.
+        """
+        q = np.ascontiguousarray(q, dtype=np.float64)
+        radii = np.ascontiguousarray(radii, dtype=np.float64)
+        values_c = None if values is None else \
+            np.ascontiguousarray(values, np.float32)
+        src_c = None if src is None else np.ascontiguousarray(src,
+                                                              np.float32)
+        check = pelev is not None and gelev is not None
+        pe = np.ascontiguousarray(pelev, np.float32) if check else None
+        ge = np.ascontiguousarray(gelev, np.float32) if check else None
+        self._lib.index_paint(
+            self._handle, q.ctypes.data_as(ctypes.c_void_p), q.shape[0],
+            radii.ctypes.data_as(ctypes.c_void_p),
+            None if values_c is None else _ptr(values_c),
+            None if src_c is None else _ptr(src_c),
+            None if pe is None else _ptr(pe),
+            None if ge is None else _ptr(ge),
+            int(check), float(max_diff), _ptr(out))
 
 
 def _ptr(a: np.ndarray):
@@ -224,6 +258,20 @@ def doping_square(cy: np.ndarray, cx: np.ndarray, obs: np.ndarray,
                       _ptr(gelev), cy.size, int(ny), int(nx),
                       int(check_elev), float(max_diff), _ptr(out))
     return True
+
+
+def window_run(array: np.ndarray, length: int, stat: int, before: bool,
+               keep_missing: bool, missing_edges: bool) -> np.ndarray | None:
+    """Running-window Mean/Sum/Count along the last axis of (Case, T)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = _f32c(array)
+    out = np.empty(a.shape, np.float32)
+    lib.window_run(_ptr(a), a.shape[0], a.shape[1], int(length), int(stat),
+                   int(before), int(keep_missing), int(missing_edges),
+                   _ptr(out))
+    return out
 
 
 def nb_search(array: np.ndarray, search_array: np.ndarray, halfwidth: int,

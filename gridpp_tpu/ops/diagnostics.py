@@ -10,15 +10,17 @@ import jax.numpy as jnp
 import numpy as np
 
 # Saturation vapour pressure lookup table, 5K steps from 173.16K
-# (humidity.cpp:35-42, from metno/wdb2ts)
-EWT = jnp.asarray(np.array([
+# (humidity.cpp:35-42, from metno/wdb2ts). Kept as a numpy constant:
+# creating a device array at import time would initialize the XLA backend
+# before jax.distributed.initialize can run in multi-host jobs.
+EWT = np.array([
     .000034, .000089, .000220, .000517, .001155, .002472,
     .005080, .01005, .01921, .03553, .06356, .1111,
     .1891, .3139, .5088, .8070, 1.2540, 1.9118,
     2.8627, 4.2148, 6.1078, 8.7192, 12.272, 17.044,
     23.373, 31.671, 42.430, 56.236, 73.777, 95.855,
     123.40, 157.46, 199.26, 250.16, 311.69, 385.56,
-    473.67, 578.09, 701.13, 845.28, 1013.25], np.float32))
+    473.67, 578.09, 701.13, 845.28, 1013.25], np.float32)
 
 
 @jax.jit
@@ -36,10 +38,11 @@ def dewpoint(temperature, relative_humidity):
 
 
 def _ewt_lookup(temp):
+    ewt = jnp.asarray(EWT)
     x = jnp.clip((temp - 173.16) * 0.2, 0.0, 39.0)
     idx = jnp.clip(x.astype(jnp.int32), 0, 39)
     frac = x - idx.astype(x.dtype)
-    return EWT[idx] + (EWT[idx + 1] - EWT[idx]) * frac
+    return ewt[idx] + (ewt[idx + 1] - ewt[idx]) * frac
 
 
 @jax.jit

@@ -170,9 +170,16 @@ def make_utem_kernel(structure, max_points: int, allow_extrapolation: bool):
         pinv = jnp.einsum("bes,bsf->bef", c, l_yc,
                           preferred_element_type=jnp.float32) \
             + jnp.eye(e, dtype=jnp.float32)
-        p = jnp.linalg.inv(pinv)
-        eigval, eigvec = jnp.linalg.eigh((e - 1) * p)
-        sq = jnp.sqrt(jnp.maximum(eigval, 0.0))
+        # Single eigh of the SPD Pinv gives P, W=sqrt((E-1)P) and the
+        # conditioning guard (reference oi_ensi_multi.cpp:1106-1121:
+        # rcond <= 0 -> keep raw background and count a warning)
+        eigval, eigvec = jnp.linalg.eigh(pinv)
+        cond_ok = jnp.isfinite(eigval[:, 0]) & jnp.isfinite(eigval[:, -1]) \
+            & (eigval[:, 0] > 0)
+        lam_safe = jnp.where(eigval > 0, eigval, 1.0)
+        p = jnp.einsum("bij,bj,bkj->bik", eigvec, 1.0 / lam_safe, eigvec,
+                       preferred_element_type=jnp.float32)
+        sq = jnp.sqrt((e - 1) / lam_safe)
         w_mat = jnp.einsum("bij,bj,bkj->bik", eigvec, sq, eigvec,
                            preferred_element_type=jnp.float32)
         innov = jnp.where(sel_valid, l_obs - l_yhat, 0.0)
@@ -219,9 +226,10 @@ def make_utem_kernel(structure, max_points: int, allow_extrapolation: bool):
                                            jnp.where(c4, x, increment))))
 
         analysis = ens_mean[:, None] + increment
-        ok = jnp.any(sel_valid, axis=1) & jnp.all(jnp.isfinite(analysis),
-                                                  axis=1)
-        return jnp.where(ok[:, None], analysis, background)
+        any_valid = jnp.any(sel_valid, axis=1)
+        cond_bad = any_valid & ~cond_ok
+        ok = any_valid & cond_ok & jnp.all(jnp.isfinite(analysis), axis=1)
+        return jnp.where(ok[:, None], analysis, background), cond_bad
 
     cache[key] = kernel
     return kernel

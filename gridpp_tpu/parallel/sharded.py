@@ -58,6 +58,8 @@ def sharded_oi_kernel(mesh: Mesh, structure, max_points: int,
                         int(max_points), bool(allow_extrapolation))
 
     shardings = NamedSharding(mesh, all_axes)
+    jitted = jax.jit(kernel)  # jit once; re-wrapping per call would
+    # discard the compilation cache (round-1 review finding)
 
     def wrapper(p1_fields, cand_fields, cand_valid, background, bvariance,
                 obs, obs_y, ratios):
@@ -66,6 +68,6 @@ def sharded_oi_kernel(mesh: Mesh, structure, max_points: int,
                 jax.tree.map(place, cand_fields), place(cand_valid),
                 place(background), place(bvariance), place(obs),
                 place(obs_y), place(ratios))
-        return jax.jit(kernel)(*args)
+        return jitted(*args)
 
     return wrapper

@@ -147,6 +147,50 @@ class TestNbSearch:
         np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
 
 
+class TestWindowRun:
+    @pytest.mark.parametrize("stat", [Statistic.Mean, Statistic.Sum,
+                                      Statistic.Count])
+    @pytest.mark.parametrize("before", [False, True])
+    @pytest.mark.parametrize("flags", [(False, False), (True, False),
+                                       (False, True), (True, True)])
+    def test_vs_device(self, stat, before, flags):
+        keep_missing, missing_edges = flags
+        from gridpp_tpu.ops.window import window as window_op
+        x = _field((7, 40), seed=int(stat) + before)
+        length = 5
+        host = native.window_run(x, length, int(stat), before,
+                                 keep_missing, missing_edges)
+        dev = np.asarray(window_op(jnp.asarray(x), length, int(stat),
+                                   before, keep_missing, missing_edges))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+
+class TestPaint:
+    def test_fill_matches_scipy_loop(self):
+        import gridpp_tpu as gridpp
+        rng = np.random.default_rng(3)
+        n = 40
+        lats, lons = np.meshgrid(np.linspace(55, 58, n),
+                                 np.linspace(5, 8, n), indexing="ij")
+        grid = gridpp.Grid(lats, lons)
+        p = 30
+        pts = gridpp.Points(rng.uniform(55, 58, p), rng.uniform(5, 8, p),
+                            np.zeros(p), np.zeros(p))
+        field = rng.normal(0, 1, (n, n)).astype(np.float32)
+        radii = rng.uniform(5000, 40000, p)
+        out = gridpp.fill(grid, field, pts, radii, 7.5, False)
+        # scipy reference loop
+        expected = field.copy().reshape(-1)
+        tree = grid.index.tree
+        from gridpp_tpu.core.coords import convert_coordinates_np
+        x, y, z = convert_coordinates_np(pts.lats, pts.lons,
+                                         grid.get_coordinate_type())
+        q = np.stack([x, y, z], axis=-1)
+        for i in range(p):
+            expected[tree.query_ball_point(q[i], r=float(radii[i]))] = 7.5
+        np.testing.assert_array_equal(out.reshape(-1), expected)
+
+
 class TestApiUsesHost:
     """The public API must produce the same results as before (it now
     routes through the native kernels when available)."""
