@@ -60,6 +60,18 @@ def main():
     dt = (time.time() - t0) / cycles
     assert all(np.isfinite(o).all() for o in outs)
 
+    # The general serving path (dynamic network: full tiled re-solve per
+    # cycle, no precomputed gains) - reported alongside so the fast
+    # path's static-network assumption is visible.
+    pipe.run_device(jnp.asarray(bgs[0]), jnp.asarray(obs[0]),
+                    path="general")  # warm-up/compile
+    t0 = time.time()
+    outs_g = [pipe.run_device(jnp.asarray(bgs[i]), jnp.asarray(obs[i]),
+                              path="general") for i in range(cycles)]
+    outs_g = [np.asarray(o) for o in outs_g]
+    dt_general = (time.time() - t0) / cycles
+    assert all(np.isfinite(o).all() for o in outs_g)
+
     value = n * n / dt
     baseline = 12_490.0  # reference combined gridpoints/s (see docstring)
     print(json.dumps({
@@ -67,6 +79,8 @@ def main():
         "value": round(value, 1),
         "unit": "gridpoints/s",
         "vs_baseline": round(value / baseline, 2),
+        "path_fast_static_ratios_pts_per_s": round(n * n / dt, 1),
+        "path_general_dynamic_pts_per_s": round(n * n / dt_general, 1),
     }))
 
 

@@ -230,13 +230,25 @@ class Pipeline:
             assume_valid=assume_valid))
 
     def run_device(self, background, pobs, pratios=None,
-                   assume_valid=False):
+                   assume_valid=False, path="auto"):
         """Device-to-device variant (no host transfers).
 
         assume_valid=True skips the all-finite device check (one scalar
         sync) when the caller has already validated the cycle's inputs —
         required for async streaming of back-to-back cycles.
+        path: "auto" (fast when eligible), "fast" (require the static-
+        ratios weight path), or "general" (force the full tiled re-solve,
+        e.g. for benchmarking the dynamic-network path).
         """
+        if path == "general":
+            if pratios is None:
+                pratios = self._init_ratios
+            if pratios is None:
+                raise ValueError("pratios required for the general path")
+            pratios = jnp.asarray(np.asarray(pratios, np.float32))
+            return self._run(background, pobs, pratios)
+        if path == "fast" and self._static_w is None:
+            raise ValueError("Pipeline was built without static ratios")
         if self._fast_eligible(pratios):
             if assume_valid or bool(
                     jnp.isfinite(pobs).all()

@@ -14,6 +14,7 @@ import numpy as np
 
 from ..constants import MV
 from ..core.grid import Grid
+from .options import Options
 
 _LAT_NAMES = ("latitude", "lat", "lats")
 _LON_NAMES = ("longitude", "lon", "lons")
@@ -62,6 +63,14 @@ class File:
         ftype = options.get("type") if options else None
         if ftype == "fake":
             return FileFake()
+        if ftype == "point":
+            return FilePoint(filename, options)
+        if ftype == "text":
+            return FileText(filename, options)
+        if ftype == "norcomQnh":
+            return FileNorcomQnh(filename, options)
+        if ftype not in (None, "netcdf"):
+            raise RuntimeError(f"Could not understand file type {ftype}")
         return FileNetcdf(filename)
 
 
@@ -158,6 +167,21 @@ class FileNetcdf(File):
                 f"Variable '{name}' not in file '{self.filename}'")
         var = self._nc.variables[name]
         data = np.array(var[:], np.float32)
+        # _FillValue/missing_value -> NaN (reference getNcFloats,
+        # Netcdf.cpp:498-518); files without an explicit attribute use
+        # the library default NC_FILL_FLOAT
+        fills = [getattr(var, a, None)
+                 for a in ("_FillValue", "missing_value")]
+        if all(f is None for f in fills):
+            fills = [9.9692099683868690e+36]
+        for fv in fills:
+            if fv is not None:
+                data = np.where(data == np.float32(fv), np.nan, data)
+        sf = getattr(var, "scale_factor", None)
+        off = getattr(var, "add_offset", None)
+        if sf is not None or off is not None:
+            data = data * np.float32(sf if sf is not None else 1.0) + \
+                np.float32(off if off is not None else 0.0)
         return self._normalize_dims(data, var.dimensions)
 
     def _normalize_dims(self, data, dims):
@@ -245,6 +269,241 @@ class FileNetcdf(File):
                 v[:] = np.asarray(data).astype(dtype)
         out.close()
         self._nc = netcdf_file(self.filename, "r", mmap=False)
+
+
+def _read_rows(filename):
+    """Non-comment whitespace rows of a text forecast file."""
+    rows = []
+    if not os.path.exists(filename):
+        return rows
+    with open(filename) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            rows.append([float(v) for v in line.split()])
+    return rows
+
+
+class FilePoint(File):
+    """Single-location text forecasts (reference File/Point.cpp).
+
+    Rows: unix time followed by one column per ensemble member. The
+    location comes from required lat/lon/elev options; 'time' and 'ens'
+    options size an empty (output-only) file.
+    """
+
+    def __init__(self, filename, options=None):
+        super().__init__()
+        self.filename = filename
+        opt = options or Options()
+        lat = opt.get_required("lat", float)
+        lon = opt.get_required("lon", float)
+        elev = opt.get_required("elev", float)
+        if lat < -90 or lat > 90:
+            raise RuntimeError(f"Invalid latitude: {lat}")
+        self.grid = Grid(np.array([[lat]]), np.array([[lon]]),
+                         np.array([[elev]]))
+        rows = self._rows = _read_rows(filename)
+        times = [r[0] for r in rows]
+        num_ens = len(rows[0]) - 1 if rows else None
+        if opt.has("ens"):
+            num_ens = opt.get("ens", type=int)
+        if opt.has("time"):
+            times = list(range(opt.get("time", type=int)))
+        if not times:
+            raise RuntimeError(
+                f"Missing 'time' option for empty file '{filename}'")
+        if num_ens is None:
+            raise RuntimeError(
+                f"Missing 'ens' option for empty file '{filename}'")
+        self.times = np.asarray(times, np.float64)
+        self.num_ens = int(num_ens)
+
+    def has_variable(self, name):
+        return True
+
+    def _read_field(self, name):
+        field = np.full((len(self.times), 1, 1, self.num_ens), np.nan,
+                        np.float32)
+        for row, r in enumerate(self._rows):
+            # Reference quirk preserved: the row's time column is matched
+            # against the time INDEX, not the time value (Point.cpp:95-108)
+            t_idx = int(r[0])
+            if not 0 <= t_idx < len(self.times):
+                continue
+            if len(r) - 1 != self.num_ens:
+                raise RuntimeError(
+                    f"Row {row} in file '{self.filename}' has too many "
+                    f"members (expecting {self.num_ens})")
+            field[t_idx, 0, 0, :] = r[1:]
+        return field
+
+    def write(self, variables, history=""):
+        if not variables:
+            print("Warning: No variables to write")
+            return
+        field = self.get_field(variables[0])
+        with open(self.filename, "w") as f:
+            for i, t in enumerate(self.times):
+                vals = " ".join(f"{v:.2f}" for v in field[i, 0, 0, :])
+                f.write(f"{int(t)} {vals}\n")
+
+
+class FileText(File):
+    """Multi-location text forecasts (reference File/Text.cpp).
+
+    Rows: `time lat lon elev ens0 [ens1 ...]`. Locations become a
+    (L, 1) grid sorted by (lat, lon, elev), matching the reference's
+    std::set<Location> ordering.
+    """
+
+    def __init__(self, filename, options=None):
+        super().__init__()
+        self.filename = filename
+        rows = _read_rows(filename)
+        num_ens = None
+        values = {}
+        locations = set()
+        times = set()
+        for r in rows:
+            if len(r) < 5:
+                raise RuntimeError(
+                    f"Could not read value from file '{filename}'")
+            t, lat, lon, elev = r[0], r[1], r[2], r[3]
+            ens = r[4:]
+            if num_ens is None:
+                num_ens = len(ens)
+            elif len(ens) != num_ens:
+                raise RuntimeError(
+                    f"File '{filename}' is corrupt, because it does not "
+                    "have the same number of columns on each line")
+            times.add(t)
+            locations.add((lat, lon, elev))
+            values[(t, (lat, lon, elev))] = ens
+        self._locations = sorted(locations)
+        self.times = np.asarray(sorted(times), np.float64)
+        self.num_ens = num_ens if num_ens is not None else 1
+        nl = max(len(self._locations), 1)
+        lats = np.array([[loc[0]] for loc in self._locations]) \
+            if self._locations else np.zeros((1, 1))
+        lons = np.array([[loc[1]] for loc in self._locations]) \
+            if self._locations else np.zeros((1, 1))
+        elevs = np.array([[loc[2]] for loc in self._locations]) \
+            if self._locations else np.zeros((1, 1))
+        self.grid = Grid(lats, lons, elevs)
+        field = np.full((max(len(self.times), 1), nl, 1, self.num_ens),
+                        np.nan, np.float32)
+        for (t, loc), ens in values.items():
+            ti = int(np.nonzero(self.times == t)[0][0])
+            li = self._locations.index(loc)
+            field[ti, li, 0, :] = ens
+        self._data = field
+
+    def has_variable(self, name):
+        return True
+
+    def _read_field(self, name):
+        return self._data.copy()
+
+    def write(self, variables, history=""):
+        # Reference quirk preserved: FileText::writeCore emits only
+        # location (0, 0) per time (Text.cpp:131-150)
+        if not variables:
+            print("Warning: No variables to write")
+            return
+        field = self.get_field(variables[0])
+        with open(self.filename, "w") as f:
+            for i, t in enumerate(self.times):
+                vals = " ".join(f"{v:.2f}" for v in field[i, 0, 0, :])
+                f.write(f"{int(t)} {vals}\n")
+
+
+class FileNorcomQnh(File):
+    """NORCOM aviation QNH bulletin output (reference File/NorcomQnh.cpp).
+
+    Write-only format: for each named station, the minimum QNH [Pa] over
+    [startTime, endTime] is written as whole hPa in a FBNO52 bulletin.
+    """
+
+    def __init__(self, filename, options=None):
+        super().__init__()
+        self.filename = filename
+        opt = options or Options()
+        lats = opt.get_floats("lats")
+        lons = opt.get_floats("lons")
+        elevs = opt.get_floats("elevs")
+        names = (opt.get("names") or "").split(",") if opt.has("names") \
+            else []
+        for key, vals in (("lats", lats), ("lons", lons),
+                          ("elevs", elevs), ("names", names)):
+            if not vals:
+                raise RuntimeError(
+                    f"Missing '{key}' option for '{filename}'")
+        if not (len(lats) == len(lons) == len(elevs) == len(names)):
+            raise RuntimeError("FileNorcomQnh: 'lats', 'lons', 'elevs', "
+                               "'names' must be the same size")
+        for lat in lats:
+            if lat < -90 or lat > 90:
+                raise RuntimeError(f"Invalid latitude: {lat}")
+        num_times = opt.get("numTimes", type=int)
+        if num_times is None:
+            raise RuntimeError(
+                f"Missing 'numTimes' option for '{filename}'")
+        self.start_time = opt.get("startTime", type=int)
+        self.end_time = opt.get("endTime", type=int)
+        if self.start_time is None:
+            raise RuntimeError(
+                f"Missing 'startTime' option for '{filename}'")
+        if self.end_time is None:
+            raise RuntimeError(
+                f"Missing 'endTime' option for '{filename}'")
+        if self.start_time > self.end_time:
+            raise RuntimeError(
+                "FileNorcomQnh: 'startTime' must be <= 'endTime'")
+        self.names = names
+        self.grid = Grid(np.array([lats]), np.array([lons]),
+                         np.array([elevs]))
+        self.times = np.arange(num_times, dtype=np.float64)
+        self.num_ens = 1
+
+    def has_variable(self, name):
+        return True
+
+    def _read_field(self, name):
+        return np.full((len(self.times), 1, len(self.names), 1), np.nan,
+                       np.float32)
+
+    @staticmethod
+    def _norcom_stamp(unix_time) -> str:
+        import time as _time
+        tm = _time.gmtime(unix_time)
+        return f"{tm.tm_mday:02d}{tm.tm_hour:02d}{tm.tm_min:02d}"
+
+    def write(self, variables, history=""):
+        import time as _time
+        if not variables:
+            print("Warning: No variables to write")
+            return
+        if len(variables) > 1:
+            print("Warning: Output NorcomQnh can only write one variable, "
+                  f"several given. Will write variable {variables[0]}")
+        field = self.get_field(variables[0])
+        width = max(len(n) for n in self.names)
+        with open(self.filename, "w") as f:
+            now = self._norcom_stamp(_time.time())
+            start = self._norcom_stamp(self.times[self.start_time])
+            end = self._norcom_stamp(self.times[self.end_time])
+            f.write(f"FBNO52 ENNC {now}\r\r\n")
+            f.write(f"VALID {start} - {end} UTC.\r\n")
+            for j, name in enumerate(self.names):
+                window = field[self.start_time:self.end_time + 1, 0, j, 0]
+                valid = window[np.isfinite(window)]
+                if valid.size == 0:
+                    raise RuntimeError(
+                        "Invalid value when writing QNH to NorcomQnh")
+                hpa = int(valid.min()) // 100
+                f.write(f"EST MIN QNH {name:<{width}}: {hpa:04d} HPA\r\n")
 
 
 def _fit_to_dims(data, target_shape):

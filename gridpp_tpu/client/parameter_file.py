@@ -103,6 +103,64 @@ class ParameterFileText:
         return points, self._params[mask]
 
 
+def _read_netcdf_vars(filename):
+    """Read every variable of a NetCDF3/NetCDF4 file into
+    {name: (dims tuple, array)} with _FillValue/missing_value converted
+    to NaN (reference getNcFloats, Netcdf.cpp:498-518).
+
+    scipy handles classic NetCDF3; HDF5-based NetCDF4 needs the netCDF4
+    package and gets a clear error when it is absent.
+    """
+    def _with_fill_nan(data, fills):
+        if data.dtype.kind == "f":
+            if all(f is None for f in fills):
+                fills = (9.9692099683868690e+36,)  # default NC_FILL_FLOAT
+            for fv in fills:
+                if fv is not None:
+                    data = np.where(data == data.dtype.type(fv), np.nan,
+                                    data)
+        return data
+
+    try:
+        from scipy.io import netcdf_file
+        nc = netcdf_file(filename, "r", mmap=False)
+    except Exception:
+        nc = None
+    if nc is not None:
+        try:
+            out = {}
+            for name, var in nc.variables.items():
+                data = np.array(var.data if var.data.ndim == 0 else var[:])
+                fills = (getattr(var, "_FillValue", None),
+                         getattr(var, "missing_value", None))
+                out[name] = (tuple(var.dimensions),
+                             _with_fill_nan(data, fills))
+            return out
+        finally:
+            nc.close()
+    try:
+        import netCDF4
+    except ImportError:
+        raise RuntimeError(
+            f"Cannot open '{filename}': NetCDF4 parameter files need the "
+            "netCDF4 package (not installed); NetCDF3 is supported "
+            "natively")
+    ds = netCDF4.Dataset(filename, "r")
+    try:
+        out = {}
+        for name, var in ds.variables.items():
+            data = np.asarray(var[:])
+            if np.ma.isMaskedArray(data):
+                data = data.filled(np.nan)
+            fills = (getattr(var, "_FillValue", None),
+                     getattr(var, "missing_value", None))
+            out[name] = (tuple(var.dimensions),
+                         _with_fill_nan(data, fills))
+        return out
+    finally:
+        ds.close()
+
+
 class ParameterFileNetcdf:
     """Gridded parameter sets (reference ParameterFile/Netcdf.cpp).
 
@@ -113,8 +171,6 @@ class ParameterFileNetcdf:
     """
 
     def __init__(self, filename, options=None):
-        from scipy.io import netcdf_file
-
         self.filename = filename
         self.spatial = True
         opt = options
@@ -122,53 +178,80 @@ class ParameterFileNetcdf:
                     if opt is not None else "coefficient")
         dim_name = (opt.get("dimName", "coeff")
                     if opt is not None else "coeff")
-        nc = netcdf_file(filename, "r", mmap=False)
-        try:
-            def find_var(*names):
-                for n in names:
-                    if n in nc.variables:
-                        return nc.variables[n]
-                return None
+        variables = _read_netcdf_vars(filename)
 
-            vlat = find_var("lat", "latitude")
-            vlon = find_var("lon", "longitude")
-            if vlat is None or vlon is None:
-                raise RuntimeError(
-                    "Could not determine latitude/longitude variable")
-            lats = np.array(vlat[:], np.float64)
-            lons = np.array(vlon[:], np.float64)
-            valt = find_var("altitude")
-            elevs = (np.array(valt[:], np.float64) if valt is not None
-                     else np.full(lats.shape, np.nan))
-            vtime = find_var("time")
-            times = (np.array(vtime[:], np.float64).ravel()
-                     if vtime is not None else np.zeros(1))
+        def find_var(*names):
+            for n in names:
+                if n in variables:
+                    return variables[n]
+            return None
 
-            if var_name not in nc.variables:
+        vlat = find_var("lat", "latitude")
+        vlon = find_var("lon", "longitude")
+        if vlat is None or vlon is None:
+            raise RuntimeError(
+                "Could not determine latitude/longitude variable")
+        lat_dims, lats = vlat
+        lon_dims, lons = vlon
+        lats = lats.astype(np.float64)
+        lons = lons.astype(np.float64)
+        if lats.ndim == 1 and lons.ndim == 1 \
+                and lat_dims != lon_dims:
+            # 1-D coordinate variables: broadcast to the 2-D grid
+            # (reference Netcdf.cpp getGridValues numDims==1 branch)
+            lats, lons = np.meshgrid(lats, lons, indexing="ij")
+            spatial_dims = [lat_dims[0], lon_dims[0]]
+        else:
+            if lon_dims != lat_dims:
+                # Normalize lon's dim order to lat's (reference
+                # getGridValues normalizes each variable independently)
+                lons = lons.transpose([lon_dims.index(d)
+                                       for d in lat_dims])
+            spatial_dims = list(lat_dims)
+        valt = find_var("altitude")
+        if valt is not None:
+            alt_dims, elevs = valt
+            elevs = elevs.astype(np.float64)
+            if tuple(alt_dims) == tuple(lat_dims) and elevs.ndim > 1:
+                pass  # already lat-ordered
+            elif elevs.shape == lats.shape:
+                pass
+            elif set(alt_dims) == set(lat_dims):
+                elevs = elevs.transpose([alt_dims.index(d)
+                                         for d in lat_dims])
+            else:
+                elevs = np.broadcast_to(elevs, lats.shape)
+        else:
+            elevs = np.full(lats.shape, np.nan)
+        vtime = find_var("time")
+        times = (vtime[1].astype(np.float64).ravel()
+                 if vtime is not None else np.zeros(1))
+
+        if var_name not in variables:
+            raise RuntimeError(f"No variable '{var_name}' in {filename}")
+        dims, coef_raw = variables[var_name]
+        dims = list(dims)
+        if dim_name not in dims:
+            raise RuntimeError(
+                f"Coefficients in {filename} missing '{dim_name}' "
+                "dimension")
+        for d in spatial_dims:
+            if d not in dims:
                 raise RuntimeError(
-                    f"No variable '{var_name}' in {filename}")
-            vcoef = nc.variables[var_name]
-            dims = list(vcoef.dimensions)
-            if dim_name not in dims:
-                raise RuntimeError(
-                    f"Coefficients in {filename} missing '{dim_name}' "
-                    "dimension")
-            spatial_dims = list(vlat.dimensions)
-            for d in spatial_dims:
-                if d not in dims:
-                    raise RuntimeError(
-                        f"Coefficients in {filename} missing spatial "
-                        f"dimension '{d}'")
-            order = []
-            if "time" in dims:
-                order.append(dims.index("time"))
-            order += [dims.index(d) for d in spatial_dims]
-            order.append(dims.index(dim_name))
-            coef = np.array(vcoef[:], np.float32).transpose(order)
-            if "time" not in dims:
-                coef = coef[None]
-        finally:
-            nc.close()
+                    f"Coefficients in {filename} missing spatial "
+                    f"dimension '{d}'")
+        order = []
+        if "time" in dims:
+            order.append(dims.index("time"))
+        order += [dims.index(d) for d in spatial_dims]
+        order.append(dims.index(dim_name))
+        if len(order) != coef_raw.ndim:
+            raise RuntimeError(
+                f"Coefficients in {filename} have unsupported extra "
+                f"dimensions: {dims}")
+        coef = coef_raw.astype(np.float32).transpose(order)
+        if "time" not in dims:
+            coef = coef[None]
 
         n_time = coef.shape[0]
         n_coeff = coef.shape[-1]
@@ -196,12 +279,42 @@ class ParameterFileNetcdf:
         return self._coef[self._time_index(time)][idx]
 
     def parameters_at_time(self, time):
-        """Mean parameter row over locations (non-spatial accessor)."""
-        return np.nanmean(self._coef[self._time_index(time)], axis=0)
+        """Unsupported: gridded parameter files are location-dependent.
+
+        The reference has no spatial-averaging accessor either; callers
+        must use params_for_locations (matches ParameterFileText.to_points
+        raising for the inverse mismatch)."""
+        raise RuntimeError(
+            "Parameter file is location-dependent; use "
+            "params_for_locations")
 
     def to_points(self, time=None):
         t = 0 if time is None else self._time_index(time)
         return self._points, self._coef[t]
+
+
+class ParameterFileSimple:
+    """In-memory location-independent parameter set (reference
+    ParameterFile/Simple.cpp): one parameter row, valid at time 0."""
+
+    def __init__(self, parameters):
+        self.filename = None
+        self.spatial = False
+        self._params = np.asarray(parameters, np.float32).ravel()
+
+    def is_location_dependent(self) -> bool:
+        return False
+
+    def get_times(self):
+        return [0]
+
+    def parameters_at_time(self, time):
+        return self._params
+
+    def params_for_locations(self, time, lats, lons):
+        lats = np.asarray(lats, np.float64).ravel()
+        return np.broadcast_to(self._params,
+                               (lats.size, self._params.size)).copy()
 
 
 def get_parameter_file(name, options=None):

@@ -119,6 +119,20 @@ def main():
                  build_points(1000, s), np.zeros(int(1000 * s)),
                  np.ones(int(1000 * s)), np.ones(int(1000 * s)),
                  structure, 20))
+    def spatial_structure():
+        n = int(100 * s)
+        lats, lons = np.meshgrid(np.linspace(50, 55, n),
+                                 np.linspace(5, 10, n), indexing="ij")
+        sgrid = gridpp.Grid(lats, lons)
+        h = np.full((n, n), 10000.0, np.float32)
+        v = np.full((n, n), 200.0, np.float32)
+        return gridpp.BarnesStructure(sgrid, h, v, np.zeros((n, n)))
+
+    add("optimal_interpolation", "100² 1000 spatial-h", 0.91,
+        lambda: (build_grid(100, s), I(100, int(100 * s)),
+                 build_points(1000, s), np.zeros(int(1000 * s)),
+                 np.ones(int(1000 * s)), np.ones(int(1000 * s)),
+                 spatial_structure(), 20))
     add("optimal_interpolation", "2000² 10000", None,
         lambda: (build_grid(2000, s), I(2000, int(2000 * s)),
                  build_points(10000, s), np.zeros(int(10000 * s)),
@@ -176,6 +190,13 @@ def main():
         lambda: (I(2000, int(2000 * s)), np.sort(rng.random(2000)),
                  np.sort(rng.random(2000)), gridpp.OneToOne,
                  gridpp.OneToOne))
+    add("apply_curve", "2000² gridded curves", 0.87,
+        lambda: (I(2000, int(2000 * s)),
+                 np.sort(rng.random([int(2000 * s), int(2000 * s), 5],
+                                    np.float32), axis=-1),
+                 np.sort(rng.random([int(2000 * s), int(2000 * s), 5],
+                                    np.float32), axis=-1),
+                 gridpp.OneToOne, gridpp.OneToOne))
     add("get_optimal_threshold", "1e6", 0.38,
         lambda: (rng.standard_normal(int(1e6 * s)).astype(np.float32),
                  rng.standard_normal(int(1e6 * s)).astype(np.float32),

@@ -1,0 +1,222 @@
+"""Ported reference gtest scenarios for the client layer.
+
+Each test mirrors a scenario from /root/reference/src/client/Testing/
+(FilePoint.cpp, FileText.cpp, FileNorcomQnh.cpp, ParameterFileText.cpp,
+ParameterFileSimple.cpp, CalibratorAccumulate.cpp) against the same
+fixture files. Fixtures are read from the reference checkout when
+present; scenarios are skipped otherwise.
+"""
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from gridpp_tpu.client.file import (File, FileNetcdf, FileNorcomQnh,
+                                    FilePoint, FileText)
+from gridpp_tpu.client.options import Options
+from gridpp_tpu.client.parameter_file import (ParameterFileSimple,
+                                              ParameterFileText)
+
+FIXTURES = "/root/reference/tests/files"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference fixtures unavailable")
+
+
+def fx(name):
+    return os.path.join(FIXTURES, name)
+
+
+class TestFilePoint:
+    """Testing/FilePoint.cpp scenarios."""
+
+    def test_as_input(self):
+        f = FilePoint(fx("validPoint1.txt"), Options("lat=1 lon=2 elev=3"))
+        field = f.get_field("air_temperature_2m")
+        assert field[0, 0, 0, 0] == pytest.approx(290)
+        assert field[1, 0, 0, 0] == pytest.approx(288)
+
+    def test_as_ensemble(self):
+        f = FilePoint(fx("validPoint2.txt"), Options("lat=1 lon=2 elev=3"))
+        assert f.num_ens == 2
+        field = f.get_field("air_temperature_2m")
+        np.testing.assert_allclose(field[0, 0, 0], [290, 291])
+        np.testing.assert_allclose(field[1, 0, 0], [288, 300])
+
+    def test_valid_files(self):
+        for opts in ("lat=1 lon=2 elev=3 time=67",
+                     "lat=89 lon=2 elev=3 time=67",
+                     "lat=-89 lon=-180 elev=3 time=67",
+                     "lat=-89 lon=180 elev=-32 time=67",
+                     "lat=89 lon=200 elev=3 time=67",
+                     "lat=89 lon=-200 elev=3 time=67"):
+            FilePoint(fx("validPoint1.txt"), Options(opts))
+
+    def test_invalid(self):
+        for opts in ("lon=2 elev=3 time=67",      # missing lat
+                     "lat=1 elev=3 time=67",      # missing lon
+                     "lat=1 lon=2 time=67",       # missing elev
+                     "lat=91 lon=2 elev=3 time=67",
+                     "lat=-91 lon=2 elev=3 time=67"):
+            with pytest.raises(RuntimeError):
+                FilePoint(fx("validPoint1.txt"), Options(opts))
+        with pytest.raises(RuntimeError):  # missing time for missing file
+            FilePoint(fx("hd92h3d98h38.txt"), Options("lat=1 lon=2 elev=3"))
+
+    def test_as_output_roundtrip(self, tmp_path):
+        """FilePoint.cpp asOutput: nearest-downscale 10x10.nc to a point
+        file, write, re-read; expects 303 at time 0."""
+        from gridpp_tpu.client.schemes import DownscalerNearestNeighbour
+        src = FileNetcdf(fx("10x10.nc"))
+        out_path = str(tmp_path / "filePoint.txt")
+        dst = FilePoint(out_path,
+                        Options("lat=1 lon=2 elev=3 time=2 ens=1"))
+        d = DownscalerNearestNeighbour("air_temperature_2m", Options())
+        d.downscale(src, dst)
+        dst.write(["air_temperature_2m"])
+        again = FilePoint(out_path, Options("lat=1 lon=2 elev=3 time=2"))
+        field = again.get_field("air_temperature_2m")
+        assert field[0, 0, 0, 0] == pytest.approx(303)
+
+
+class TestFileText:
+    """Testing/FileText.cpp scenarios."""
+
+    def test_as_input(self):
+        f = FileText(fx("validText1.txt"))
+        field = f.get_field("air_temperature_2m")
+        assert field[0, 0, 0, 0] == pytest.approx(3.2)
+        assert field[1, 0, 0, 0] == pytest.approx(4.1)
+
+    def test_as_ensemble(self):
+        f = FileText(fx("validText2.txt"))
+        field = f.get_field("air_temperature_2m")
+        assert f.num_ens == 3
+        assert field.shape[1] == 2  # two locations, sorted by (lat, lon)
+        np.testing.assert_allclose(field[0, 0, 0], [11, 21, -1])
+        np.testing.assert_allclose(field[0, 1, 0], [3.2, 1.5, 5.1])
+        assert np.isnan(field[1, 0, 0]).all()  # (60,8) missing at time 1
+        np.testing.assert_allclose(field[1, 1, 0], [4, 1, 2])
+
+    def test_invalid(self):
+        with pytest.raises(RuntimeError):
+            FileText(fx("invalidText1.txt"))
+
+
+class TestFileNorcomQnh:
+    """Testing/FileNorcomQnh.cpp scenarios."""
+
+    OPTS = ("lats=1,2 lons=2,3 elevs=100,120 names=point1,point2 "
+            "numTimes=2 startTime=0 endTime=1")
+
+    def test_options(self, tmp_path):
+        f = FileNorcomQnh(str(tmp_path / "test.txt"), Options(self.OPTS))
+        np.testing.assert_allclose(f.grid.lats[0], [1, 2])
+        np.testing.assert_allclose(f.grid.lons[0], [2, 3])
+        np.testing.assert_allclose(f.grid.elevs[0], [100, 120])
+
+    def test_valid(self, tmp_path):
+        FileNorcomQnh(str(tmp_path / "t.txt"),
+                      Options("lats=1 lons=300 elevs=3 numTimes=2 "
+                              "startTime=0 endTime=1 names=test"))
+
+    def test_invalid(self, tmp_path):
+        p = str(tmp_path / "t.txt")
+        for opts in (
+                "lats=1,2 lons=2 elevs=3 names=test numTimes=2 "
+                "startTime=0 endTime=1",
+                "lats=2 lons=2,3,2 elevs=3 names=test numTimes=2 "
+                "startTime=0 endTime=1",
+                "lats=2 lons=2 elevs=3,2 names=test numTimes=2 "
+                "startTime=0 endTime=1",
+                "lats=1 lons=2 elevs=3 names=q,w numTimes=2 "
+                "startTime=0 endTime=1",
+                "lats=91 lons=2 elevs=3 names=q numTimes=2 "
+                "startTime=0 endTime=1",
+                "lats=1 lons=2 elevs=3 names=q numTimes=2 "
+                "startTime=1 endTime=0"):
+            with pytest.raises(RuntimeError):
+                FileNorcomQnh(p, Options(opts))
+
+    def test_write_bulletin(self, tmp_path):
+        p = str(tmp_path / "qnh.txt")
+        f = FileNorcomQnh(p, Options(self.OPTS))
+        field = np.zeros((2, 1, 2, 1), np.float32)
+        field[:, 0, 0, 0] = [101325, 100925]  # min 100925 -> 1009 hPa
+        field[:, 0, 1, 0] = [99000, 99500]    # min 99000 -> 0990 hPa
+        f.add_field("surface_air_pressure", field)
+        f.write(["surface_air_pressure"])
+        text = open(p).read()
+        assert text.startswith("FBNO52 ENNC ")
+        assert "EST MIN QNH point1: 1009 HPA" in text
+        assert "EST MIN QNH point2: 0990 HPA" in text
+
+
+class TestParameterFileText:
+    """Testing/ParameterFileText.cpp scenarios."""
+
+    def test_single_time(self):
+        f = ParameterFileText(fx("parametersSingleTime.txt"))
+        par = f.parameters_at_time(0)
+        assert par.size == 9
+        assert par[0] == pytest.approx(-1.2021)
+        assert par[8] == pytest.approx(0.0007985)
+        # any time resolves to the single row
+        np.testing.assert_array_equal(f.parameters_at_time(10), par)
+
+    def test_multiple_time(self):
+        f = ParameterFileText(fx("parametersMultipleTime.txt"))
+        assert len(np.unique(f._times)) == 8
+        par = f.parameters_at_time(30)
+        assert par.size == 8
+        assert par[0] == pytest.approx(0.04198875)
+        assert par[5] == pytest.approx(-0.04039751)
+
+    def test_spatial(self):
+        f = ParameterFileText(fx("parametersKriging.txt"))
+        assert f.is_location_dependent()
+
+
+class TestParameterFileSimple:
+    """Testing/ParameterFileSimple.cpp scenario."""
+
+    def test_basics(self):
+        f = ParameterFileSimple([1.0, 2.0, 3.0])
+        assert not f.is_location_dependent()
+        assert f.get_times() == [0]
+        np.testing.assert_allclose(f.parameters_at_time(0), [1, 2, 3])
+        rows = f.params_for_locations(0, [60, 61], [10, 11])
+        assert rows.shape == (2, 3)
+        np.testing.assert_allclose(rows[1], [1, 2, 3])
+
+
+class TestCalibratorAccumulateFixture:
+    """Testing/CalibratorAccumulate.cpp:26-53 golden values."""
+
+    def test_accumulate_1x1(self):
+        from gridpp_tpu.client.schemes import CalibratorAccumulate
+        f = FileNetcdf(fx("1x1.nc"))
+        name = "air_temperature_2m"
+        cal = CalibratorAccumulate(name, Options())
+        cal.calibrate(f, None)
+        after = f.get_field(name)
+        expected = [0, 20, 35, 56, 70, 100, 121, 140]
+        for t, v in enumerate(expected):
+            assert after[t, 0, 0, 0] == pytest.approx(v), t
+        assert np.isnan(after[8, 0, 0, 0])
+        assert np.isnan(after[9, 0, 0, 0])
+
+    def test_accumulate_10x10(self):
+        from gridpp_tpu.client.schemes import CalibratorAccumulate
+        f = FileNetcdf(fx("10x10.nc"))
+        name = "precipitation_amount"
+        cal = CalibratorAccumulate(name, Options())
+        cal.calibrate(f, None)
+        after = f.get_field(name)
+        assert after[0, 5, 2, 0] == pytest.approx(0)
+        assert after[1, 5, 2, 0] == pytest.approx(0.539526, rel=1e-5)
+        assert after[0, 5, 9, 0] == pytest.approx(0)
+        assert after[1, 5, 9, 0] == pytest.approx(6.929162, rel=1e-5)
+        assert after[0, 0, 9, 0] == pytest.approx(0)
+        assert after[1, 0, 9, 0] == pytest.approx(5.442121, rel=1e-5)
