@@ -25,6 +25,10 @@ def window(array, length, statistic, before=False, keep_missing=False,
     if array.ndim != 2:
         raise ValueError("array must be 2D")
     if array.size == 0:
+        # Reference: zero case rows collapse to (0, 0); zero time columns
+        # keep their shape (window.cpp via tests test_no_cases/no_times)
+        if array.shape[0] == 0:
+            return np.zeros((0, 0), np.float32)
         return np.zeros(array.shape, np.float32)
     if length % 2 == 0 and not before:
         raise ValueError("Length variable must be an odd number")

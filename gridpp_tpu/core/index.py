@@ -114,15 +114,26 @@ class SpatialIndex:
 
     def radius_lists(self, qlats, qlons, radius: float,
                      include_match: bool = True):
-        """List-of-arrays radius query (kdtree.cpp:39-80), dist <= radius."""
+        """List-of-arrays radius query (kdtree.cpp:39-80).
+
+        Reference semantics: dist <= radius AND strictly inside the
+        bounding box [q-r, q+r]^3 - boost's `within(box)` prefilter is
+        boundary-exclusive, so a point exactly `radius` away ALONG AN
+        AXIS is dropped (the reference's own test_radius_match asserts
+        this for Cartesian points).
+        """
         q = self._query_xyz(qlats, qlons)
         res = self.tree.query_ball_point(q, r=float(radius), workers=-1)
         out = []
         for i, lst in enumerate(res):
             arr = np.asarray(lst, dtype=np.int32)
-            if not include_match and arr.size:
-                d = np.linalg.norm(self.xyz[arr] - q[i], axis=-1)
-                arr = arr[d != 0]
+            if arr.size:
+                diff = self.xyz[arr] - q[i]
+                inside_box = np.max(np.abs(diff), axis=-1) < radius
+                if not include_match:
+                    d = np.linalg.norm(diff, axis=-1)
+                    inside_box &= d != 0
+                arr = arr[inside_box]
             out.append(arr)
         return out
 

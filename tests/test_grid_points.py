@@ -81,12 +81,18 @@ class TestPoints:
                                [0, 0, 0], [0, 0, 0], gridpp.Cartesian)
         idx = points.get_neighbours(0, 0, 1500)
         assert set(np.asarray(idx).tolist()) == {0, 1}
-        # inclusive radius
+        # a point exactly radius away along an axis is excluded: the
+        # reference's within(box) prefilter is boundary-exclusive
+        # (kdtree.cpp:46-53; its test_radius_match asserts this)
         idx = points.get_neighbours(0, 0, 1000)
+        assert set(np.asarray(idx).tolist()) == {0}
+        idx = points.get_neighbours(0, 0, 1001)
         assert set(np.asarray(idx).tolist()) == {0, 1}
-        # exclude match
-        idx = points.get_neighbours(0, 0, 1000, False)
+        # exclude match (point 1 at exactly 1000 still box-excluded)
+        idx = points.get_neighbours(0, 0, 1001, False)
         assert set(np.asarray(idx).tolist()) == {1}
+        idx = points.get_neighbours(0, 0, 1000, False)
+        assert set(np.asarray(idx).tolist()) == set()
 
     def test_subset(self):
         points = gridpp.Points([0, 1, 2, 2, 4], [0] * 5)

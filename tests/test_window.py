@@ -104,6 +104,61 @@ class TestWindow:
         output = gridpp.window(inp, 2, gridpp.Sum, True, False, True)
         np.testing.assert_array_equal(output, [[np.nan, 1, 3, 2, 3, 7, 9]])
 
+    def test_count_before(self, inputs):
+        out = gridpp.window(inputs, 3, gridpp.Count, True, False, False)
+        np.testing.assert_array_equal(out, np.tile([1, 2, 3, 3, 3], (5, 1)))
+        # missing_edges does not mask Count (window.cpp)
+        out = gridpp.window(inputs, 3, gridpp.Count, True, False, True)
+        np.testing.assert_array_equal(out, np.tile([1, 2, 3, 3, 3], (5, 1)))
+
+    def test_mixed_flags_before(self):
+        x = [[0, 1, 2, np.nan, 3, 4, 5]]
+        out = gridpp.window(x, 2, gridpp.Sum, True, False, False)
+        np.testing.assert_array_equal(out, [[0, 1, 3, 2, 3, 7, 9]])
+        out = gridpp.window(x, 2, gridpp.Sum, True, True, False)
+        np.testing.assert_array_equal(out, [[0, 1, 3, np.nan, np.nan, 7, 9]])
+        out = gridpp.window(x, 2, gridpp.Sum, True, False, True)
+        np.testing.assert_array_equal(out, [[np.nan, 1, 3, 2, 3, 7, 9]])
+        out = gridpp.window(x, 2, gridpp.Sum, True, True, True)
+        np.testing.assert_array_equal(out,
+                                      [[np.nan, 1, 3, np.nan, np.nan, 7, 9]])
+
+    def test_mixed_flags_centered(self):
+        x = [[0, 1, 2, np.nan, 3, 4, 5]]
+        out = gridpp.window(x, 3, gridpp.Sum, False, False, False)
+        np.testing.assert_array_equal(out, [[1, 3, 3, 5, 7, 12, 9]])
+        out = gridpp.window(x, 3, gridpp.Sum, False, True, False)
+        np.testing.assert_array_equal(
+            out, [[1, 3, np.nan, np.nan, np.nan, 12, 9]])
+        out = gridpp.window(x, 3, gridpp.Sum, False, False, True)
+        np.testing.assert_array_equal(out,
+                                      [[np.nan, 3, 3, 5, 7, 12, np.nan]])
+        out = gridpp.window(x, 3, gridpp.Sum, False, True, True)
+        np.testing.assert_array_equal(
+            out, [[np.nan, 3, np.nan, np.nan, np.nan, 12, np.nan]])
+
+    def test_window_bigger_than_array_missing_edges(self):
+        out = gridpp.window([[1, 1], [1, 1]], 5, gridpp.Sum, False, False,
+                            True)
+        np.testing.assert_array_equal(
+            out, [[np.nan, np.nan], [np.nan, np.nan]])
+
+    def test_empty_shapes(self):
+        out = gridpp.window(np.zeros((10, 0)), 3, gridpp.Sum)
+        assert out.shape == (10, 0)
+        out = gridpp.window(np.zeros((0, 10)), 3, gridpp.Sum)
+        assert out.shape == (0, 0)
+        out = gridpp.window(np.zeros((0, 0)), 3, gridpp.Sum)
+        assert out.shape == (0, 0)
+
+    def test_long_length(self):
+        out = gridpp.window([[0, 1, 2, 3]], 1001, gridpp.Sum, False, False,
+                            False)
+        np.testing.assert_array_equal(out, [[6, 6, 6, 6]])
+        out = gridpp.window([[1], [2]], 1001, gridpp.Sum, False, False,
+                            False)
+        np.testing.assert_array_equal(out, [[1], [2]])
+
     def test_invalid_length(self):
         with pytest.raises(ValueError):
             gridpp.window(np.ones([2, 2]), 0, gridpp.Mean, False, False,
