@@ -375,6 +375,135 @@ void nb_search(const float* arr, const float* search, int64_t ny, int64_t nx,
     });
 }
 
+// Separable running-sum neighbourhood Mean/Sum/Count/Std/Variance over a
+// (ny, nx) field with halfwidth h (reference src/api/neighbourhood.cpp:
+// 45-144 uses a double summed-area table; this is the streaming
+// equivalent with a ring buffer of windowed row sums - O(1)/cell, no
+// O(N) f64 table in memory). NaN = missing: skipped in sums and counts.
+// Threads split the column range; each column slice runs the full
+// y-sweep independently (the row windows read input beyond the slice).
+void nb_meansum(const float* in, int64_t ny, int64_t nx, int64_t h_,
+                int stat, float* out) {
+    const int64_t h = std::max<int64_t>(0, h_);
+    const bool need2 = (stat == kStd || stat == kVariance);
+    unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+    if (nx < 256) nthreads = 1;
+    std::vector<std::thread> threads;
+    int64_t chunk = (nx + nthreads - 1) / nthreads;
+
+    auto run_slice = [&](int64_t x0, int64_t x1) {
+        const int64_t w = x1 - x0;
+        const int64_t ring = 2 * h + 2;
+        std::vector<double> rs(ring * w), rs2(need2 ? ring * w : 0);
+        std::vector<int32_t> rc(ring * w);
+        std::vector<double> acc(w, 0.0), acc2(need2 ? w : 0, 0.0);
+        std::vector<int64_t> accc(w, 0);
+
+        auto compute_row = [&](int64_t yy) {
+            double* prs = rs.data() + (yy % ring) * w;
+            double* prs2 = need2 ? rs2.data() + (yy % ring) * w : nullptr;
+            int32_t* prc = rc.data() + (yy % ring) * w;
+            const float* row = in + yy * nx;
+            double s = 0, s2 = 0;
+            int32_t c = 0;
+            for (int64_t xx = std::max<int64_t>(0, x0 - h);
+                 xx <= std::min<int64_t>(nx - 1, x0 + h); xx++) {
+                float v = row[xx];
+                if (valid(v)) {
+                    s += v;
+                    if (need2) s2 += (double)(v * v);  // f32 square, like
+                    c++;                               // the reference
+                }
+            }
+            for (int64_t x = x0; x < x1; x++) {
+                if (x > x0) {
+                    int64_t addx = x + h;
+                    if (addx < nx) {
+                        float v = row[addx];
+                        if (valid(v)) {
+                            s += v;
+                            if (need2) s2 += (double)(v * v);
+                            c++;
+                        }
+                    }
+                    int64_t remx = x - h - 1;
+                    if (remx >= 0) {
+                        float v = row[remx];
+                        if (valid(v)) {
+                            s -= v;
+                            if (need2) s2 -= (double)(v * v);
+                            c--;
+                        }
+                    }
+                }
+                prs[x - x0] = s;
+                if (need2) prs2[x - x0] = s2;
+                prc[x - x0] = c;
+            }
+        };
+
+        int64_t next_row = 0;
+        for (int64_t y = 0; y < ny; y++) {
+            int64_t top = std::min<int64_t>(y + h, ny - 1);
+            while (next_row <= top) {
+                compute_row(next_row);
+                const double* prs = rs.data() + (next_row % ring) * w;
+                const double* prs2 = need2
+                    ? rs2.data() + (next_row % ring) * w : nullptr;
+                const int32_t* prc = rc.data() + (next_row % ring) * w;
+                for (int64_t i = 0; i < w; i++) {
+                    acc[i] += prs[i];
+                    if (need2) acc2[i] += prs2[i];
+                    accc[i] += prc[i];
+                }
+                next_row++;
+            }
+            int64_t bot = y - h - 1;
+            if (bot >= 0) {
+                const double* prs = rs.data() + (bot % ring) * w;
+                const double* prs2 = need2
+                    ? rs2.data() + (bot % ring) * w : nullptr;
+                const int32_t* prc = rc.data() + (bot % ring) * w;
+                for (int64_t i = 0; i < w; i++) {
+                    acc[i] -= prs[i];
+                    if (need2) acc2[i] -= prs2[i];
+                    accc[i] -= prc[i];
+                }
+            }
+            float* orow = out + y * nx + x0;
+            for (int64_t i = 0; i < w; i++) {
+                int64_t c = accc[i];
+                if (stat == kCount) {
+                    orow[i] = (float)c;
+                } else if (c <= 0) {
+                    orow[i] = kNaN;
+                } else if (stat == kSum) {
+                    orow[i] = (float)acc[i];
+                } else if (stat == kMean) {
+                    orow[i] = (float)(acc[i] / (double)c);
+                } else {
+                    // Std/Variance via two f32 mean fields subtracted in
+                    // f32, reproducing the reference's arithmetic exactly
+                    // (neighbourhood.cpp:211-235: double SAT -> float
+                    // mean fields -> float mean2 - mean*mean, unclamped)
+                    float mean = (float)(acc[i] / (double)c);
+                    float mean2 = (float)(acc2[i] / (double)c);
+                    float var = mean2 - mean * mean;
+                    orow[i] = stat == kStd ? std::sqrt(var) : var;
+                }
+            }
+        }
+    };
+
+    for (unsigned t = 0; t < nthreads; t++) {
+        int64_t s = t * chunk;
+        int64_t e = std::min<int64_t>(nx, s + chunk);
+        if (s >= e) break;
+        threads.emplace_back(run_slice, s, e);
+    }
+    for (auto& th : threads) th.join();
+}
+
 // 1-D running-window Mean/Sum/Count along rows of a (ncase, nt) array
 // (reference src/api/window.cpp:6-156; semantics mirror ops/window.py:
 // `before` trailing windows, keep_missing, missing_edges flags).

@@ -69,6 +69,12 @@ def neighbourhood(input, halfwidth, statistic):
             return _random_choice_window(flat2.astype(np.float32),
                                          int(halfwidth))
         flat = stats_ops.nan_statistic(jnp.asarray(input), statistic, axis=-1)
+        if statistic in (Statistic.Mean, Statistic.Sum, Statistic.Count,
+                         Statistic.Std, Statistic.Variance):
+            host = native.nb_meansum(np.asarray(flat), int(halfwidth),
+                                     statistic)
+            if host is not None:
+                return host
         if statistic == Statistic.Median:
             host = native.nb_brute(np.asarray(flat), int(halfwidth),
                                    statistic)
@@ -80,6 +86,11 @@ def neighbourhood(input, halfwidth, statistic):
         raise ValueError("input must be 2D or 3D")
     if statistic == Statistic.RandomChoice:
         return _random_choice_window(input, int(halfwidth))
+    if statistic in (Statistic.Mean, Statistic.Sum, Statistic.Count,
+                     Statistic.Std, Statistic.Variance):
+        host = native.nb_meansum(input, int(halfwidth), statistic)
+        if host is not None:
+            return host
     if statistic == Statistic.Median:
         # The fast dispatch has no O(1) path for Median; use the native
         # brute kernel (neighbourhood.cpp:236-238 falls back the same way)

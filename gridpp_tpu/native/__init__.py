@@ -74,6 +74,7 @@ def get_lib():
                                       c_i64, c_i64, c_i32, c_f32, c_p]
         lib.window_run.argtypes = [c_p, c_i64, c_i64, c_i64, c_i32, c_i32,
                                    c_i32, c_i32, c_p]
+        lib.nb_meansum.argtypes = [c_p, c_i64, c_i64, c_i64, c_i32, c_p]
         lib.index_paint.argtypes = [c_p, c_p, c_i64, c_p, c_p, c_p, c_p,
                                     c_p, c_i32, c_f32, c_p]
         lib.index_build.restype = ctypes.c_void_p
@@ -258,6 +259,19 @@ def doping_square(cy: np.ndarray, cx: np.ndarray, obs: np.ndarray,
                       _ptr(gelev), cy.size, int(ny), int(nx),
                       int(check_elev), float(max_diff), _ptr(out))
     return True
+
+
+def nb_meansum(values: np.ndarray, halfwidth: int,
+               stat: int) -> np.ndarray | None:
+    """Running-sum neighbourhood Mean/Sum/Count/Std/Variance, (Y, X)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = _f32c(values)
+    ny, nx = v.shape
+    out = np.empty((ny, nx), np.float32)
+    lib.nb_meansum(_ptr(v), ny, nx, int(halfwidth), int(stat), _ptr(out))
+    return out
 
 
 def window_run(array: np.ndarray, length: int, stat: int, before: bool,

@@ -147,6 +147,37 @@ class TestNbSearch:
         np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
 
 
+class TestNbMeansum:
+    @pytest.mark.parametrize("stat", [Statistic.Mean, Statistic.Sum,
+                                      Statistic.Count])
+    @pytest.mark.parametrize("h", [0, 1, 4, 30])
+    def test_vs_device(self, stat, h):
+        x = _field((23, 37), seed=int(stat) * 7 + h)
+        host = native.nb_meansum(x, h, int(stat))
+        dev = np.asarray(nops.neighbourhood(jnp.asarray(x), h, int(stat)))
+        np.testing.assert_allclose(host, dev, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("stat", [Statistic.Std, Statistic.Variance])
+    @pytest.mark.parametrize("h", [1, 4, 30])
+    def test_vs_device_variance(self, stat, h):
+        """Looser tolerance: XLA emits an FMA for mean2 - mean*mean (the
+        product stays exact inside the FMA) while the reference's C++ -
+        and this kernel - round the product first. At var ~= 0 the device
+        can even go slightly negative (NaN std), so h=0 single-cell
+        windows are exercised in test_neighbourhood's fast-vs-brute
+        checks instead."""
+        x = _field((23, 37), seed=int(stat) * 7 + h)
+        host = native.nb_meansum(x, h, int(stat))
+        dev = np.asarray(nops.neighbourhood(jnp.asarray(x), h, int(stat)))
+        np.testing.assert_allclose(host, dev, rtol=1e-3, atol=1e-2)
+
+    def test_all_nan(self):
+        x = np.full((6, 7), np.nan, np.float32)
+        assert np.isnan(native.nb_meansum(x, 2, int(Statistic.Mean))).all()
+        np.testing.assert_array_equal(
+            native.nb_meansum(x, 2, int(Statistic.Count)), np.zeros((6, 7)))
+
+
 class TestWindowRun:
     @pytest.mark.parametrize("stat", [Statistic.Mean, Statistic.Sum,
                                       Statistic.Count])
