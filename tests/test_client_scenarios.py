@@ -191,6 +191,49 @@ class TestParameterFileSimple:
         np.testing.assert_allclose(rows[1], [1, 2, 3])
 
 
+class TestCalibratorOiFixture:
+    """Operational OI calibrator against a spatial parameter fixture
+    (the reference exercises CalibratorOi through the 10x10/parameter
+    text fixtures; VERDICT r1 item 8)."""
+
+    def test_oi_with_parameter_fixture(self):
+        from gridpp_tpu.client.parameter_file import get_parameter_file
+        from gridpp_tpu.client.schemes import CalibratorOi
+        f = FileNetcdf(fx("10x10.nc"))
+        name = "air_temperature_2m"
+        before = f.get_field(name).copy()
+        par = get_parameter_file(fx("parametersKriging.txt"))
+        assert par.is_location_dependent()
+        cal = CalibratorOi(name, Options("h=200000 maxPoints=10"))
+        cal.calibrate(f, par)
+        after = f.get_field(name)
+        assert after.shape == before.shape
+        assert np.isfinite(after).sum() >= np.isfinite(before).sum() - 1
+        # the analysis must move toward the (much colder) point
+        # "observations" of the fixture
+        assert np.nanmean(after) < np.nanmean(before)
+        assert not np.array_equal(after, before)
+
+    def test_cli_end_to_end_oi(self, tmp_path):
+        """Full CLI run: NetCDF in -> nearest downscale -> OI calibrate
+        -> NetCDF out (Driver/Gridpp.cpp pipeline shape)."""
+        import shutil as _shutil
+        from gridpp_tpu.client import main
+        src = str(tmp_path / "in.nc")
+        dst = str(tmp_path / "out.nc")
+        _shutil.copy(fx("10x10.nc"), src)
+        _shutil.copy(fx("10x10.nc"), dst)
+        rc = main([src, dst, "-v", "air_temperature_2m",
+                   "-d", "nearest",
+                   "-c", "oi", "h=200000",
+                   "-p", fx("parametersKriging.txt")])
+        assert rc == 0
+        out = FileNetcdf(dst)
+        after = out.get_field("air_temperature_2m")
+        ref = FileNetcdf(fx("10x10.nc")).get_field("air_temperature_2m")
+        assert not np.array_equal(after, ref)
+
+
 class TestCalibratorAccumulateFixture:
     """Testing/CalibratorAccumulate.cpp:26-53 golden values."""
 

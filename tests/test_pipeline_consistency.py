@@ -1,0 +1,101 @@
+"""Pipeline serving paths vs the plain API on randomized networks.
+
+Round-1 review: "no test pits the tiled OI path against the flat path on
+randomized networks with missing obs". These tests randomize the obs
+network, inject missing obs/background values, and require the tiled
+general path, the flat (non-tiled) path, the static-ratio fast path and
+the plain numpy API to agree.
+"""
+import numpy as np
+import pytest
+
+import gridpp_tpu as gridpp
+
+
+def _problem(seed, n=40, n_obs=60, nan_obs=0.2):
+    rng = np.random.default_rng(seed)
+    lats, lons = np.meshgrid(np.linspace(55, 58, n),
+                             np.linspace(5, 8, n), indexing="ij")
+    grid = gridpp.Grid(lats, lons)
+    pts = gridpp.Points(rng.uniform(55, 58, n_obs),
+                        rng.uniform(5, 8, n_obs),
+                        np.zeros(n_obs), np.zeros(n_obs))
+    background = rng.normal(280, 5, (n, n)).astype(np.float32)
+    pback = gridpp.nearest(grid, pts, background)
+    pobs = (pback + rng.normal(0, 2, n_obs)).astype(np.float32)
+    pobs[rng.random(n_obs) < nan_obs] = np.nan
+    ratios = np.full(n_obs, 0.2, np.float32)
+    structure = gridpp.BarnesStructure(30000.0)
+    return grid, pts, background, pback, pobs, ratios, structure
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_tiled_vs_flat_vs_plain(seed):
+    """With the shortlist covering the whole network, both serving paths
+    must reproduce the plain API bit-for-bit semantics; with a capped
+    shortlist they must agree with each other and stay within the
+    documented approximation of the plain result (missing obs can push
+    true top-rho candidates past the shortlist cut)."""
+    grid, pts, background, pback, pobs, ratios, structure = _problem(seed)
+    max_points = 8
+    n_obs = pts.size()
+
+    plain = gridpp.optimal_interpolation(grid, background, pts, pobs,
+                                         ratios, pback, structure,
+                                         max_points)
+
+    # full shortlist: exact
+    tiled = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                            max_points=max_points, tiled=True,
+                            candidates=n_obs)
+    flat = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                           max_points=max_points, tiled=False,
+                           candidates=n_obs)
+    out_tiled = tiled(background, pobs, ratios)
+    out_flat = flat(background, pobs, ratios)
+    np.testing.assert_allclose(out_tiled, plain, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(out_flat, plain, rtol=1e-4, atol=1e-3)
+
+    # capped shortlist: tiled == flat, and close to plain
+    tiled_c = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                              max_points=max_points, tiled=True,
+                              candidates=2 * max_points)
+    flat_c = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                             max_points=max_points, tiled=False,
+                             candidates=2 * max_points)
+    out_tc = tiled_c(background, pobs, ratios)
+    out_fc = flat_c(background, pobs, ratios)
+    np.testing.assert_allclose(out_tc, out_fc, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_tc, plain, rtol=0.05, atol=0.5)
+
+
+def test_fast_path_matches_general_when_all_valid():
+    grid, pts, background, pback, pobs, ratios, structure = _problem(
+        7, nan_obs=0.0)
+    max_points = 8
+    pipe = gridpp.Pipeline(grid, pts, structure, halfwidth=3,
+                           statistic=gridpp.Mean, max_points=max_points,
+                           tiled=True, ratios=ratios)
+    import jax.numpy as jnp
+    fast = np.asarray(pipe.run_device(jnp.asarray(background),
+                                      jnp.asarray(pobs), path="fast",
+                                      assume_valid=True))
+    general = np.asarray(pipe.run_device(jnp.asarray(background),
+                                         jnp.asarray(pobs), ratios,
+                                         path="general"))
+    np.testing.assert_allclose(fast, general, rtol=1e-4, atol=1e-3)
+
+
+def test_missing_background_cells():
+    grid, pts, background, pback, pobs, ratios, structure = _problem(11)
+    background = background.copy()
+    background[::5, ::7] = np.nan
+    pback = gridpp.nearest(grid, pts, background)
+    plain = gridpp.optimal_interpolation(grid, background, pts, pobs,
+                                         ratios, pback, structure, 8)
+    pipe = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                           max_points=8, tiled=True)
+    out = pipe(background, pobs, ratios)
+    # NaN background cells stay NaN in both
+    assert np.isnan(out[::5, ::7]).all()
+    np.testing.assert_allclose(out, plain, rtol=1e-4, atol=1e-3)
