@@ -64,7 +64,7 @@ from .api.search import neighbourhood_search, smart, staticcorr_points  # noqa: 
 from .api.ldc import local_distribution_correction  # noqa: F401
 from .api.pipeline import Pipeline  # noqa: F401
 from .api.verif import (  # noqa: F401
-    neighbourhood_score, test_ivec2_output, test_ivec3_output,
+    neighbourhood_score, test_array, test_ivec2_output, test_ivec3_output,
     test_ivec_input, test_ivec_output, test_not_implemented_exception,
     test_vec2_argout, test_vec2_input, test_vec2_output, test_vec3_input,
     test_vec3_output, test_vec_argout, test_vec_input, test_vec_output,

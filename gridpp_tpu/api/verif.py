@@ -92,5 +92,10 @@ def test_vec2_argout():
     return 0.0, np.full((10, 10), swig_default_value, np.float32)
 
 
+def test_array(v, n=None):
+    """Identity over a raw array (swig.cpp:6-11, coverage-only)."""
+    return np.asarray(v, np.float32)
+
+
 def test_not_implemented_exception():
     raise NotImplementedError("Not implemented")

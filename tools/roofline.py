@@ -7,13 +7,17 @@ tunnel - is amortized away) to derive achieved GFLOP/s and GB/s.
 SURVEY.md section 5 asks for exactly this: per-kernel roofline notes
 guiding perf work.
 
-    python tools/roofline.py            # real device (TPU under axon)
+    python tools/roofline.py              # real device (TPU under axon)
+    python tools/roofline.py --trace DIR  # also write a jax.profiler
+                                          # trace (open with xprof /
+                                          # tensorboard-plugin-profile)
     JAX_PLATFORMS=cpu python tools/roofline.py
 
 Prints a markdown table (pasted into BENCH_OPS.md).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -65,6 +69,13 @@ def characterize(name, make_fn, *args):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the benchmark "
+                         "loops to DIR")
+    opts = ap.parse_args()
+
+    import contextlib
     import jax
     import jax.numpy as jnp
 
@@ -79,6 +90,11 @@ def main():
 
     rng = np.random.default_rng(0)
     rows = []
+
+    trace_ctx = (jax.profiler.trace(opts.trace) if opts.trace
+                 else contextlib.nullcontext())
+    _trace = contextlib.ExitStack()
+    _trace.enter_context(trace_ctx)
 
     x2k = rng.random((2048, 2048)).astype(np.float32)
     rows.append(characterize(
@@ -125,6 +141,10 @@ def main():
     rows.append(characterize(
         f"OI dense block B={b} P={p} S={s}", make_oi, bg,
         p1["x"], p1["y"], p1["z"], p1["elev"], p1["laf"]))
+
+    _trace.close()
+    if opts.trace:
+        print(f"profiler trace written to {opts.trace}")
 
     print("| kernel | time (ms) | GFLOP/s | GB/s | FLOPs/byte |")
     print("|---|---|---|---|---|")
