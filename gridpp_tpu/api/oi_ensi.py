@@ -7,7 +7,7 @@ import numpy as np
 from ..core.grid import Grid
 from ..core.points import Points
 from ..ops.oi_ensi import make_ensi_dense_sweep, make_ensi_kernel
-from ._common import asarray_f32
+from ._common import asarray_f32, on_host
 from .oi import _BLOCK, _candidates, _device_fields, _origin
 
 
@@ -86,7 +86,10 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
     opts = points.subset(kidx)
 
     # Dense device path: selection on device, one dispatch for the grid
-    if 0 < opts.size() <= 32768 and n * opts.size() > 4_000_000:
+    # Dense all-obs sweep is accelerator-only; on the host the cached
+    # cKDTree shortlist is far cheaper (see api/oi.py)
+    if (not on_host() and 0 < opts.size() <= 32768
+            and n * opts.size() > 4_000_000):
         origin = _origin(bpoints)
         p1_all = _device_fields(bpoints, structure, origin)
         o_fields = _device_fields(opts, structure, origin)

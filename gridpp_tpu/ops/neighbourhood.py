@@ -176,25 +176,36 @@ def interp_quantile_from_cdf(q, cdf, thresholds):
     """Per-cell piecewise-linear inverse-CDF (neighbourhood.cpp:367-404).
 
     cdf: (Y, X, T) non-decreasing along T (values in [0,1], NaN=missing);
-    thresholds: (T,); q: scalar or (Y, X).
-    Replicates gridpp::interpolate's flat-interval rules with per-cell
-    x-axes, plus the two exact-edge special cases.
+    thresholds: (T,); q: scalar or (Y, X). Thin wrapper over the
+    threshold-leading layout (see _interp_quantile_tyx).
+    """
+    return _interp_quantile_tyx(q, jnp.moveaxis(cdf, -1, 0), thresholds)
+
+
+def _interp_quantile_tyx(q, cdf, thresholds):
+    """Inverse-CDF with cdf in (T, Y, X) layout.
+
+    Keeping the (Y, X) axes minor-most matters on TPU: a (Y, X, T)
+    layout puts the tiny threshold axis in the 128-lane dimension and
+    pads it ~12x (T=11 -> 128), so every pass moves an order of
+    magnitude more memory. All reductions/gathers here run over the
+    leading T axis instead. Replicates gridpp::interpolate's
+    flat-interval rules plus the two exact-edge special cases.
     """
     t = thresholds.shape[0]
     q = jnp.asarray(q, dtype=cdf.dtype)
-    qb = jnp.broadcast_to(q, cdf.shape[:-1])[..., None]  # (Y, X, 1)
-    left = jnp.sum(cdf < qb, axis=-1)     # first index with cdf >= q
-    right = jnp.sum(cdf <= qb, axis=-1)   # first index with cdf > q
+    qs = jnp.broadcast_to(q, cdf.shape[1:])  # (Y, X)
+    left = jnp.sum(cdf < qs[None], axis=0)    # first index with cdf >= q
+    right = jnp.sum(cdf <= qs[None], axis=0)  # first index with cdf > q
     has_exact = right > left
     i0 = jnp.where(has_exact, left, left - 1)
     i1 = jnp.where(has_exact, right - 1, right)
     i0c = jnp.clip(i0, 0, t - 1)
     i1c = jnp.clip(i1, 0, t - 1)
-    x0 = jnp.take_along_axis(cdf, i0c[..., None], axis=-1)[..., 0]
-    x1 = jnp.take_along_axis(cdf, i1c[..., None], axis=-1)[..., 0]
+    x0 = jnp.take_along_axis(cdf, i0c[None], axis=0)[0]
+    x1 = jnp.take_along_axis(cdf, i1c[None], axis=0)[0]
     y0 = thresholds[i0c]
     y1 = thresholds[i1c]
-    qs = qb[..., 0]
     flat = x0 == x1
     both_edge = (i0 == 0) & (i1 == t - 1)
     y_flat = jnp.where(both_edge, (y0 + y1) / 2,
@@ -203,12 +214,12 @@ def interp_quantile_from_cdf(q, cdf, thresholds):
     dx = jnp.where(flat, 1, x1 - x0)
     y_lin = y0 + (y1 - y0) * (qs - x0) / dx
     y = jnp.where(flat, y_flat, y_lin)
-    y = jnp.where(qs > cdf[..., t - 1], thresholds[t - 1], y)
-    y = jnp.where(qs < cdf[..., 0], thresholds[0], y)
+    y = jnp.where(qs > cdf[t - 1], thresholds[t - 1], y)
+    y = jnp.where(qs < cdf[0], thresholds[0], y)
     # Exact-edge special cases (neighbourhood.cpp:396-401)
-    y = jnp.where((qs == 1) & (cdf[..., 0] == 1), thresholds[0], y)
-    y = jnp.where((qs == 0) & (cdf[..., t - 1] == 0), thresholds[t - 1], y)
-    missing = jnp.any(~jnp.isfinite(cdf), axis=-1) | ~jnp.isfinite(qs)
+    y = jnp.where((qs == 1) & (cdf[0] == 1), thresholds[0], y)
+    y = jnp.where((qs == 0) & (cdf[t - 1] == 0), thresholds[t - 1], y)
+    missing = jnp.any(~jnp.isfinite(cdf), axis=0) | ~jnp.isfinite(qs)
     return jnp.where(missing, jnp.nan, y)
 
 
@@ -234,6 +245,6 @@ def neighbourhood_quantile_fast(input: jax.Array, quantile, halfwidth: int,
     else:
         temp = jnp.where(valid[None], le.astype(jnp.float32), jnp.nan)
     stats = neighbourhood(temp, int(halfwidth), Statistic.Mean)  # (T, Y, X)
-    cdf = jnp.clip(jnp.moveaxis(stats, 0, -1), 0.0, 1.0)  # (Y, X, T)
-    cdf = jnp.where(jnp.isfinite(jnp.moveaxis(stats, 0, -1)), cdf, jnp.nan)
-    return interp_quantile_from_cdf(quantile, cdf, thresholds)
+    cdf = jnp.where(jnp.isfinite(stats), jnp.clip(stats, 0.0, 1.0),
+                    jnp.nan)  # stays threshold-leading: no transpose
+    return _interp_quantile_tyx(quantile, cdf, thresholds)
