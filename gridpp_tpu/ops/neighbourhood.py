@@ -202,10 +202,18 @@ def _interp_quantile_tyx(q, cdf, thresholds):
     i1 = jnp.where(has_exact, right - 1, right)
     i0c = jnp.clip(i0, 0, t - 1)
     i1c = jnp.clip(i1, 0, t - 1)
-    x0 = jnp.take_along_axis(cdf, i0c[None], axis=0)[0]
-    x1 = jnp.take_along_axis(cdf, i1c[None], axis=0)[0]
-    y0 = thresholds[i0c]
-    y1 = thresholds[i1c]
+    # Select the bracketing CDF values/thresholds by one-hot contraction
+    # over the tiny T axis: a per-element gather over the leading axis
+    # lowers to a scalar-indexed gather on TPU (~50x slower than these
+    # T masked adds)
+    tids = jnp.arange(t, dtype=i0c.dtype)[:, None, None]  # (T, 1, 1)
+    oh0 = tids == i0c[None]
+    oh1 = tids == i1c[None]
+    thr_col = thresholds.astype(cdf.dtype)[:, None, None]
+    x0 = jnp.sum(jnp.where(oh0, cdf, 0), axis=0)
+    x1 = jnp.sum(jnp.where(oh1, cdf, 0), axis=0)
+    y0 = jnp.sum(jnp.where(oh0, thr_col, 0), axis=0)
+    y1 = jnp.sum(jnp.where(oh1, thr_col, 0), axis=0)
     flat = x0 == x1
     both_edge = (i0 == 0) & (i1 == t - 1)
     y_flat = jnp.where(both_edge, (y0 + y1) / 2,

@@ -62,6 +62,71 @@ class TestLDC:
         # mapped value is above the raw background (obs wetter), blended
         assert np.all(out > 2.5)
 
+    def test_clear_air_return_rule_2a(self):
+        """ref curve all zero and bg < 3x fcst curve end -> 0 (rule 2a,
+        local_distribution_correction.cpp:163-166)."""
+        grid, background, points = make_setup(bg_value=2.0)
+        structure = gridpp.BarnesStructure(50000.0)
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+            structure, 0.0, 1.0, 1)
+        # bg=2.0 < 3*1.0 -> clear-air return, zeroed
+        np.testing.assert_array_almost_equal(out, 0 * background)
+
+    def test_unsampled_convection_rule_2c(self):
+        """ref curve zero but large radar values (bg >= 3x fcst end and
+        bg >= 0.1) -> keep the radar value (rule 2c, lines 170-176)."""
+        grid, background, points = make_setup(bg_value=9.0)
+        structure = gridpp.BarnesStructure(50000.0)
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+            structure, 0.0, 1.0, 1)
+        np.testing.assert_array_almost_equal(out, background)
+
+    def test_above_curve_exact_bias(self):
+        """Rule 3 preserves the curve-end bias exactly: out = bg +
+        (ref_end - fcst_end) (lines 179-186)."""
+        grid, background, points = make_setup(bg_value=20.0)
+        structure = gridpp.BarnesStructure(50000.0)
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [5.0, 6.0, 10.0], [2.0, 3.0, 4.0],
+            structure, 0.0, 1.0, 1)
+        np.testing.assert_allclose(out, 20.0 + (10.0 - 4.0), atol=1e-4)
+
+    def test_min_points_gate(self):
+        """Fewer in-radius pairs than min_points -> background unchanged
+        (lines 114, count >= min_points)."""
+        grid, background, points = make_setup(bg_value=2.5)
+        structure = gridpp.BarnesStructure(50000.0)
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [3.0, 4.0, 5.0], [1.0, 2.0, 4.0],
+            structure, 0.0, 1.0, 50)
+        np.testing.assert_array_almost_equal(out, background)
+
+    def test_negative_obs_screened(self):
+        """Negative obs/background pairs are dropped before the curve
+        build (lines 99-102); all-negative obs -> no pairs -> unchanged."""
+        grid, background, points = make_setup(bg_value=2.5)
+        structure = gridpp.BarnesStructure(50000.0)
+        out = gridpp.local_distribution_correction(
+            grid, background, points, [-1.0, -2.0, -3.0], [1.0, 2.0, 4.0],
+            structure, 0.0, 1.0, 1)
+        np.testing.assert_array_almost_equal(out, background)
+
+    def test_nan_obs_screened(self):
+        """A NaN pair among valid ones is dropped, not poisoning the
+        output (reference is_valid screen before the curve build)."""
+        grid, background, _ = make_setup(bg_value=2.5)
+        structure = gridpp.BarnesStructure(50000.0)
+        pts4 = gridpp.Points([2000.0, 2500.0, 1500.0, 1800.0],
+                             [2000.0, 2500.0, 1500.0, 1800.0],
+                             [0, 0, 0, 0], [0, 0, 0, 0], gridpp.Cartesian)
+        out = gridpp.local_distribution_correction(
+            grid, background, pts4, [3.0, 4.0, 5.0, np.nan],
+            [1.0, 2.0, 4.0, 2.0], structure, 0.0, 1.0, 1)
+        assert np.isfinite(out).all()
+        assert out.shape == background.shape
+
     def test_size_mismatch(self):
         grid, background, points = make_setup()
         structure = gridpp.BarnesStructure(5000.0)

@@ -87,6 +87,58 @@ class TestEbesc:
             np.testing.assert_allclose(out[:, e], det, atol=1e-4)
 
 
+class TestRobustness:
+    def test_utem_conditioning_guard(self, capsys):
+        """Zero obs-error ratios blow up Rinv; the reference falls back
+        to the raw background at such gridpoints and warns
+        (oi_ensi_multi.cpp:1106-1110, 1300-1304)."""
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        pobs = np.array([2.0, 1.0], np.float32)  # utem: scalar obs/point
+        out = gridpp.optimal_interpolation_ensi_multi_utem(
+            bpoints, bratios, background, bg_corr, points, pobs,
+            np.zeros(2, np.float32), pback, pback_corr, structure, 10)
+        np.testing.assert_array_equal(out, background)
+        assert "Condition number error" in capsys.readouterr().out
+
+    def test_anti_extrapolation_bounds_members(self):
+        """allow_extrapolation=False clamps member increments into the
+        observed innovation range (oi_ensi_multi.cpp anti-extrap
+        filters); analyses never overshoot max innovation."""
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        pobs = pback + 2.0
+        free = gridpp.optimal_interpolation_ensi_multi_ebe(
+            bpoints, bratios, background, bg_corr, points, pobs, pratios,
+            pback, pback_corr, structure, 10, True)
+        clamped = gridpp.optimal_interpolation_ensi_multi_ebe(
+            bpoints, bratios, background, bg_corr, points, pobs, pratios,
+            pback, pback_corr, structure, 10, False)
+        assert free.shape == clamped.shape
+        # clamped increments are bounded by the largest innovation
+        inc = clamped - background
+        assert np.nanmax(inc) <= np.nanmax(pobs - pback) + 1e-4
+
+    def test_member_screening_nan_background(self):
+        """A member invalid anywhere on the grid or at the obs points is
+        excluded from the update everywhere and passed through
+        unchanged (oi_ensi_multi.cpp:396-419 valid-ens screening)."""
+        (bpoints, points, structure, background, bg_corr, bratios,
+         pback, pback_corr, pratios) = setup()
+        background = background.copy()
+        background[3, 1] = np.nan  # member 1 invalid at one gridpoint
+        pback2 = np.stack([background[2], background[4]]).astype(np.float32)
+        pobs = np.where(np.isfinite(pback2), pback2 + 2.0, 2.0)
+        out = gridpp.optimal_interpolation_ensi_multi_ebe(
+            bpoints, bratios, background, bg_corr, points,
+            pobs, pratios, pback2, pback_corr, structure, 10)
+        # member 1 untouched (including its NaN)
+        np.testing.assert_array_equal(out[:, 1], background[:, 1])
+        # other members still updated
+        assert np.mean(out[2, [0, 2, 3, 4, 5]]
+                       - background[2, [0, 2, 3, 4, 5]]) > 0
+
+
 class TestUtem:
     def test_runs_and_updates(self):
         (bpoints, points, structure, background, bg_corr, bratios,
