@@ -5,14 +5,14 @@ batch host precompute; statistics evaluate vectorized.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
+import itertools
+
 import numpy as np
 
 from ..constants import MV, Statistic
 from ..core.grid import Grid
 from ..core.points import Points
 from ..core import coords
-from ..ops import stats as stats_ops
 from ._common import asarray_f32, check_points_compatible
 
 __all__ = ["gridding", "gridding_nearest", "count", "distance"]
@@ -24,33 +24,71 @@ def _target_latlon_flat(target):
     return target.lats, target.lons, (target.size(),)
 
 
-def _stat_of_groups(values_list, statistic, min_num):
+def _segment_statistic(vals, lens, statistic, quantile=0.5):
+    """Per-segment statistic over a segment-major flat value array.
+
+    vals: concatenated group values (float32, segment-major);
+    lens: (G,) group sizes. NaN values are skipped (util.cpp:19-110
+    semantics); groups with no valid value yield NaN (Count: 0).
+    Replaces per-group Python loops with one lexsort + fancy indexing.
+    """
+    g = lens.size
     statistic = int(statistic)
-    out = np.full(len(values_list), MV, np.float32)
-    if not values_list:
-        return out
-    kmax = max((len(v) for v in values_list), default=0)
-    if kmax == 0:
-        return out
-    padded = np.full((len(values_list), kmax), np.nan, np.float32)
-    counts = np.zeros(len(values_list), np.int64)
-    for i, v in enumerate(values_list):
-        padded[i, :len(v)] = v
-        counts[i] = len(v)
-    from .utils import calc_statistic as host_stat
-    if statistic == Statistic.RandomChoice:
-        res = np.array([host_stat(row[:c], statistic) if c else MV
-                        for row, c in zip(padded, counts)], np.float32)
-    else:
-        res = np.asarray(stats_ops.nan_statistic(
-            jnp.asarray(padded), statistic, axis=-1))
-    ok = counts > 0 if min_num <= 0 else counts >= min_num
-    # Empty groups produce MV even for Count when no points found
-    # (gridding.cpp:22-31 only writes when the radius query is non-empty or
-    # min_num allows)
-    out[ok] = res[ok]
+    valid = np.isfinite(vals)
+    seg = np.repeat(np.arange(g, dtype=np.int64), lens)
+    cnt = np.bincount(seg, weights=valid.astype(np.float64),
+                      minlength=g).astype(np.int64)
     if statistic == Statistic.Count:
-        out[ok & (counts == 0)] = 0
+        return cnt.astype(np.float32)
+    out = np.full(g, np.nan, np.float32)
+    nz = cnt > 0
+    if not nz.any():
+        return out
+    if statistic in (Statistic.Mean, Statistic.Sum):
+        s = np.bincount(seg, weights=np.where(valid, vals, 0)
+                        .astype(np.float64), minlength=g)
+        res = s / np.maximum(cnt, 1) if statistic == Statistic.Mean else s
+        out[nz] = res[nz].astype(np.float32)
+        return out
+    if statistic in (Statistic.Std, Statistic.Variance):
+        v64 = np.where(valid, vals, 0).astype(np.float64)
+        s = np.bincount(seg, weights=v64, minlength=g)
+        s2 = np.bincount(seg, weights=v64 * v64, minlength=g)
+        c = np.maximum(cnt, 1)
+        var = np.maximum(s2 / c - (s / c) ** 2, 0.0)
+        res = np.sqrt(var) if statistic == Statistic.Std else var
+        out[nz] = res[nz].astype(np.float32)
+        return out
+    # Order statistics (Min/Max/Median/Quantile/RandomChoice): sort
+    # within segments (NaNs sort last), then index per-segment positions
+    order = np.lexsort((vals, seg))
+    sv = vals[order]
+    offs = np.zeros(g, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    if statistic == Statistic.RandomChoice:
+        r = np.floor(np.random.random_sample(g)
+                     * np.maximum(cnt, 1)).astype(np.int64)
+        r = np.minimum(r, np.maximum(cnt - 1, 0))
+        out[nz] = sv[(offs + r)[nz]]
+        return out
+    if statistic == Statistic.Min:
+        q = 0.0
+    elif statistic == Statistic.Max:
+        q = 1.0
+    elif statistic == Statistic.Median:
+        q = 0.5
+    elif statistic == Statistic.Quantile:
+        q = float(quantile)
+    else:
+        raise ValueError(f"Cannot compute statistic {statistic}")
+    qn = q * np.maximum(cnt - 1, 0)
+    lo = np.floor(qn).astype(np.int64)
+    hi = np.ceil(qn).astype(np.int64)
+    lv = sv[np.minimum(offs + lo, offs + np.maximum(cnt - 1, 0))]
+    uv = sv[np.minimum(offs + hi, offs + np.maximum(cnt - 1, 0))]
+    denom = (hi - lo).astype(np.float64)
+    f = np.where(denom > 0, (qn - lo) / np.where(denom > 0, denom, 1), 0)
+    out[nz] = (lv + (uv - lv) * f)[nz].astype(np.float32)
     return out
 
 
@@ -69,18 +107,21 @@ def gridding(target, points, values, radius, min_num, statistic):
             qlats.astype(np.float64), qlons.astype(np.float64),
             points.get_coordinate_type()), axis=-1),
         r=float(radius), workers=-1)
-    groups = [values[np.asarray(lst, dtype=np.int64)] for lst in lists]
+    ncell = len(lists)
+    lens = np.fromiter((len(l) for l in lists), np.int64, count=ncell)
+    flat_idx = np.fromiter(itertools.chain.from_iterable(lists), np.int64,
+                           count=int(lens.sum()))
+    vals = values[flat_idx]
     # Note: reference computes the statistic whenever min_num allows, even
     # with zero points (calc_statistic of empty -> MV; Count -> 0)
-    out = np.full(len(groups), MV, np.float32)
     statistic = int(statistic)
-    counts = np.array([len(g) for g in groups])
-    allowed = counts >= min_num if min_num > 0 else np.ones(len(groups), bool)
-    nonzero = allowed & (counts > 0)
-    res = _stat_of_groups([g for g in groups], statistic, 0)
+    out = np.full(ncell, MV, np.float32)
+    allowed = lens >= min_num if min_num > 0 else np.ones(ncell, bool)
+    nonzero = allowed & (lens > 0)
+    res = _segment_statistic(vals, lens, statistic)
     out[nonzero] = res[nonzero]
     if statistic == Statistic.Count:
-        out[allowed & (counts == 0)] = 0
+        out[allowed & (lens == 0)] = 0
     return out.reshape(oshape)
 
 
@@ -120,14 +161,10 @@ def gridding_nearest(target, points, values, min_num, statistic):
             out[allowed] = res[allowed]
     else:
         order = np.argsort(nn, kind="stable")
-        sorted_nn = nn[order]
-        sorted_v = values[order]
-        cells, starts = np.unique(sorted_nn, return_index=True)
-        splits = np.split(sorted_v, starts[1:])
-        groups = [np.zeros(0, np.float32)] * n_out
-        for cell, vals in zip(cells, splits):
-            groups[cell] = vals
-        res = _stat_of_groups(groups, statistic, 0)
+        sorted_v = values[order]  # cell-major
+        lens = np.bincount(nn, minlength=n_out).astype(np.int64)
+        res = _segment_statistic(sorted_v, lens, statistic)
+        res = np.where(np.isfinite(res), res, MV)
         out[allowed] = res[allowed]
     return out.astype(np.float32).reshape(oshape)
 
@@ -135,12 +172,9 @@ def gridding_nearest(target, points, values, min_num, statistic):
 def count(source, target, radius):
     """Neighbour counts within radius (count.cpp)."""
     qlats, qlons, oshape = _target_latlon_flat(target)
-    if isinstance(source, Grid):
-        index = source.index
-    else:
-        index = source.index
-    out = index.radius_counts(qlats.astype(np.float64),
-                              qlons.astype(np.float64), float(radius))
+    out = source.index.radius_counts(qlats.astype(np.float64),
+                                     qlons.astype(np.float64),
+                                     float(radius))
     return out.astype(np.float32).reshape(oshape)
 
 
