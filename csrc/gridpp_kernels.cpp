@@ -123,9 +123,11 @@ extern "C" {
 // this order defines the K shift for Std/Variance.
 void nb_brute(const float* in, int64_t ny, int64_t nx, int64_t ne, int stat,
               double quantile, int64_t h, float* out) {
+    const size_t wy = (size_t)std::min(2 * h + 1, ny);
+    const size_t wx = (size_t)std::min(2 * h + 1, nx);
     parallel_rows(ny, [&](int64_t y0, int64_t y1) {
         std::vector<float> buf;
-        buf.reserve((size_t)(2 * h + 1) * (size_t)(2 * h + 1) * (size_t)ne);
+        buf.reserve(wy * wx * (size_t)ne);
         for (int64_t y = y0; y < y1; y++) {
             int64_t ys = std::max<int64_t>(0, y - h);
             int64_t ye = std::min<int64_t>(ny - 1, y + h);
@@ -152,9 +154,11 @@ void nb_brute(const float* in, int64_t ny, int64_t nx, int64_t ne, int stat,
 void nb_brute_quantile_field(const float* in, int64_t ny, int64_t nx,
                              int64_t ne, const float* qfield, int64_t h,
                              float* out) {
+    const size_t wy = (size_t)std::min(2 * h + 1, ny);
+    const size_t wx = (size_t)std::min(2 * h + 1, nx);
     parallel_rows(ny, [&](int64_t y0, int64_t y1) {
         std::vector<float> buf;
-        buf.reserve((size_t)(2 * h + 1) * (size_t)(2 * h + 1) * (size_t)ne);
+        buf.reserve(wy * wx * (size_t)ne);
         for (int64_t y = y0; y < y1; y++) {
             int64_t ys = std::max<int64_t>(0, y - h);
             int64_t ye = std::min<int64_t>(ny - 1, y + h);
@@ -383,7 +387,10 @@ void nb_search(const float* arr, const float* search, int64_t ny, int64_t nx,
 // y-sweep independently (the row windows read input beyond the slice).
 void nb_meansum(const float* in, int64_t ny, int64_t nx, int64_t h_,
                 int stat, float* out) {
-    const int64_t h = std::max<int64_t>(0, h_);
+    // Halfwidths beyond the grid extent are equivalent after edge
+    // clipping; clamping bounds the ring buffer
+    const int64_t h = std::min(std::max<int64_t>(0, h_),
+                               std::max(ny, nx) - 1);
     const bool need2 = (stat == kStd || stat == kVariance);
     unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
     if (nx < 256) nthreads = 1;
