@@ -8,7 +8,8 @@ from ..core.grid import Grid
 from ..core.points import Points
 from ..ops.oi_ensi import make_ensi_dense_sweep, make_ensi_kernel
 from ._common import asarray_f32, on_host
-from .oi import _BLOCK, _candidates, _device_fields, _origin
+from .oi import (_BALL_QUERY_MAX, _BLOCK, _candidates, _candidates_block,
+                 _device_fields, _origin)
 
 
 def _warn_condition(count: int):
@@ -110,10 +111,19 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
         return output.reshape(background.shape)
 
     loc = structure.localization_np(bpoints.lats, bpoints.lons)
-    res = _candidates(bpoints, opts, loc, max_points)
-    if res is None:
-        return output.reshape(background.shape)
-    cand, mask = res
+    # Large host grids: per-block exact ball queries with bounded memory
+    # (see api/oi.py _candidates_block); otherwise one global query.
+    chunked = on_host() and n > _BALL_QUERY_MAX
+    cand = mask = None
+    if not chunked:
+        res = _candidates(bpoints, opts, loc, max_points)
+        if res is None:
+            return output.reshape(background.shape)
+        cand, mask = res
+    obs_key = (opts.size(), hash(opts.lats.tobytes()),
+               hash(opts.lons.tobytes()),
+               float(loc.min()) if loc.size else 0.0,
+               float(loc.max()) if loc.size else 0.0)
 
     origin = _origin(bpoints)
     p1_all = _device_fields(bpoints, structure, origin)
@@ -130,16 +140,27 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
     conds = []
     # Adaptive block: the (B, K, E) gathers and batched EXE eigh must fit
     # HBM alongside the field arrays
-    k_pad = cand.shape[1]
+    k_pad = cand.shape[1] if cand is not None else 128
     e_val = max(len(valid_ens), 1)
     block = max(16384, min(_BLOCK, (1 << 27) // max(k_pad * e_val, 1)))
     for start in range(0, n, block):
         end = min(start + block, n)
-        cand_j = jnp.asarray(cand[start:end])
+        if chunked:
+            res_b = _candidates_block(bpoints, opts, loc, start, end,
+                                      obs_key)
+            if res_b is None:
+                outs.append(jnp.asarray(bg_valid[start:end]))
+                conds.append(jnp.zeros(end - start, bool))
+                continue
+            cand_j = jnp.asarray(res_b[0])
+            mask_b = jnp.asarray(res_b[1])
+        else:
+            cand_j = jnp.asarray(cand[start:end])
+            mask_b = jnp.asarray(mask[start:end])
         p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
         cand_fields = {k: jnp.take(v, cand_j, axis=0)
                        for k, v in o_fields.items()}
-        out_b, cond_b = kernel(p1, cand_fields, jnp.asarray(mask[start:end]),
+        out_b, cond_b = kernel(p1, cand_fields, mask_b,
                                jnp.asarray(bg_valid[start:end]),
                                jnp.take(j_obs, cand_j, axis=0),
                                jnp.take(j_sig, cand_j, axis=0),

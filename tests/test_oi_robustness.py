@@ -56,6 +56,32 @@ class TestEnsiConditioning:
         assert np.nanmean(out) > np.nanmean(bg)  # pulled toward obs
 
 
+class TestChunkedEnsiParity:
+    def test_chunked_blocks_match_global_query(self, monkeypatch):
+        """EnSI's large-grid per-block ball queries must reproduce the
+        global-candidate path (mirrors the deterministic OI test)."""
+        rng = np.random.default_rng(0)
+        n, e, p = 48, 4, 100
+        lats, lons = np.meshgrid(np.linspace(55, 60, n),
+                                 np.linspace(5, 10, n), indexing="ij")
+        grid = gridpp.Grid(lats, lons)
+        bg = rng.normal(280, 2, (n, n, e)).astype(np.float32)
+        pts = gridpp.Points(rng.uniform(55, 60, p), rng.uniform(5, 10, p),
+                            np.zeros(p), np.zeros(p))
+        pbg = np.stack([gridpp.nearest(grid, pts, bg[:, :, k])
+                        for k in range(e)], axis=1).astype(np.float32)
+        pobs = (pbg.mean(1) + rng.normal(0, 1, p)).astype(np.float32)
+        sig = np.ones(p, np.float32)
+        st = gridpp.BarnesStructure(50000.0)
+        ref = gridpp.optimal_interpolation_ensi(grid, bg, pts, pobs, sig,
+                                                pbg, st, 8)
+        monkeypatch.setattr(oi_api, "_BALL_QUERY_MAX", 16)
+        grid2 = gridpp.Grid(lats.copy(), lons)
+        out = gridpp.optimal_interpolation_ensi(grid2, bg, pts, pobs, sig,
+                                                pbg, st, 8)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
 class TestLargeGridExactSelection:
     def test_knn_growth_matches_ball_query_with_elev_kernel(self,
                                                             monkeypatch):
