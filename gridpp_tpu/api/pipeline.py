@@ -57,7 +57,25 @@ class Pipeline:
                  max_points: int = 10, allow_extrapolation: bool = True,
                  block: int = 16384, candidates: int | None = None,
                  tiled: bool | None = None, tile_shape=(32, 64),
-                 ratios=None):
+                 ratios=None, use_pallas: bool = False):
+        # Optional fused Pallas stencil for the smoothing stage
+        # (TPU-only; ops/pallas_stencil.py). Opt-in.
+        self._smooth = None
+        if use_pallas and int(halfwidth) > 0 and \
+                int(statistic) in (int(Statistic.Mean), int(Statistic.Sum),
+                                   int(Statistic.Count)):
+            from ..ops import pallas_stencil
+            if pallas_stencil.available():
+                h0, s0 = int(halfwidth), int(statistic)
+                self._smooth = lambda bg: pallas_stencil.neighbourhood_mean(
+                    bg, h0, s0)
+        self.__init_main(grid, points, structure, halfwidth, statistic,
+                         max_points, allow_extrapolation, block, candidates,
+                         tiled, tile_shape, ratios)
+
+    def __init_main(self, grid: Grid, points: Points, structure,
+                    halfwidth, statistic, max_points, allow_extrapolation,
+                    block, candidates, tiled, tile_shape, ratios):
         self.grid = grid
         self.points = points
         self.structure = structure
@@ -113,14 +131,15 @@ class Pipeline:
             pad_to(valid, False).reshape(nb, block, k_cap)))
         shape = self.shape
         struct = structure
+        smooth = self._smooth or (
+            lambda bg: nops.neighbourhood(bg, halfwidth, statistic))
 
         @jax.jit
         def run(background, pobs, pratios, sel_c, rho_c, val_c,
                 obs_fields, obs_nn):
             smoothed = background
             if halfwidth > 0:
-                smoothed = nops.neighbourhood(background, halfwidth,
-                                              statistic)
+                smoothed = smooth(background)
             flat = smoothed.reshape(-1)
             pback = jnp.take(flat, obs_nn)
             bg = pad_to(flat, jnp.nan).reshape(nb, block)
@@ -157,6 +176,8 @@ class Pipeline:
         self._geom = geom
         self._geom_dev = jax.block_until_ready(geom_dev)
         static_keys = tuple(geom.static_keys)
+        smooth = self._smooth or (
+            lambda bg: nops.neighbourhood(bg, halfwidth, statistic))
         obs_nn = self._obs_nn
         struct = structure
         shape = self.shape
@@ -165,8 +186,7 @@ class Pipeline:
         def run(background, pobs, pratios, gdev):
             smoothed = background
             if halfwidth > 0:
-                smoothed = nops.neighbourhood(background, halfwidth,
-                                              statistic)
+                smoothed = smooth(background)
             flat = smoothed.reshape(-1)
             pback = jnp.take(flat, obs_nn)
             valid01 = (jnp.isfinite(pobs)
@@ -197,8 +217,7 @@ class Pipeline:
             def run_fast(background, pobs, sw, tile_table):
                 smoothed = background
                 if halfwidth > 0:
-                    smoothed = nops.neighbourhood(background, halfwidth,
-                                                  statistic)
+                    smoothed = smooth(background)
                 flat = smoothed.reshape(-1)
                 innov = pobs - jnp.take(flat, obs_nn)
                 bg_t = tiled_ops.tile_fields(smoothed, geom)
