@@ -27,7 +27,7 @@ from ..constants import Statistic
 
 __all__ = ["available", "neighbourhood_mean"]
 
-_BY = 256  # output rows per program
+_BY = 128  # output rows per program (bounds the VMEM working set)
 
 
 def available() -> bool:
@@ -39,13 +39,17 @@ def available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _kernel(x_hbm, out_ref, scratch, sem, *, h, by, xpad, outw, stat):
+def _kernel(x_hbm, outv_ref, outc_ref, scratch, accv, accc, sem, *, h, by,
+            rows, xpad, outw, stat):
     from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
+    # `rows` = by + 2h rounded up to the 8-sublane tiling (Mosaic
+    # requires 8-aligned DMA slice shapes); the extra rows are NaN
+    # padding in the source and are never read by the window slices.
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * by, by + 2 * h), :], scratch, sem)
+        x_hbm.at[pl.ds(i * by, rows), :], scratch, sem)
     dma.start()
     dma.wait()
 
@@ -54,26 +58,25 @@ def _kernel(x_hbm, out_ref, scratch, sem, *, h, by, xpad, outw, stat):
     v0 = jnp.where(m, vals, 0.0)
     c0 = m.astype(jnp.float32)
 
-    # y pass: (by + 2h, xpad) -> (by, xpad), unrolled static slices
-    sv = v0[0:by, :]
-    sc = c0[0:by, :]
+    # y pass: (rows, xpad) -> (by, xpad). Accumulate through VMEM refs:
+    # value-level tree sums would keep every slice temp live on the
+    # Mosaic stack (>16 MB VMEM at h=7).
+    accv[:] = v0[0:by, :]
+    accc[:] = c0[0:by, :]
     for k in range(1, 2 * h + 1):
-        sv = sv + v0[k:k + by, :]
-        sc = sc + c0[k:k + by, :]
+        accv[:] = accv[:] + v0[k:k + by, :]
+        accc[:] = accc[:] + c0[k:k + by, :]
 
-    # x pass: (by, xpad) -> (by, outw)
-    ov = sv[:, 0:outw]
-    oc = sc[:, 0:outw]
+    # x pass: (by, xpad) -> (by, outw), accumulated straight into the
+    # two output refs (sum, count); the Mean/Sum/Count finalization is a
+    # trivially-fused XLA elementwise outside the kernel
+    sv = accv[:]
+    sc = accc[:]
+    outv_ref[:] = sv[:, 0:outw]
+    outc_ref[:] = sc[:, 0:outw]
     for k in range(1, 2 * h + 1):
-        ov = ov + sv[:, k:k + outw]
-        oc = oc + sc[:, k:k + outw]
-
-    if stat == int(Statistic.Count):
-        out_ref[:] = oc
-    elif stat == int(Statistic.Sum):
-        out_ref[:] = jnp.where(oc > 0, ov, jnp.nan)
-    else:  # Mean
-        out_ref[:] = jnp.where(oc > 0, ov / jnp.maximum(oc, 1.0), jnp.nan)
+        outv_ref[:] = outv_ref[:] + sv[:, k:k + outw]
+        outc_ref[:] = outc_ref[:] + sc[:, k:k + outw]
 
 
 @functools.partial(jax.jit,
@@ -98,23 +101,34 @@ def neighbourhood_mean(x: jax.Array, halfwidth: int,
     by = min(_BY, max(8, ny))
     nyb = -(-ny // by)
     outw = -(-nx // 128) * 128
-    xpad = outw + 2 * h
-    # NaN border: h rows/cols of halo + block/lane alignment padding
-    xp = jnp.full((nyb * by + 2 * h, xpad), jnp.nan, jnp.float32)
+    xpad = -(-(outw + 2 * h) // 128) * 128
+    rows = -(-(by + 2 * h) // 8) * 8  # 8-sublane-aligned DMA slice
+    # NaN border: h rows/cols of halo + block/lane/sublane padding
+    xp = jnp.full((nyb * by + (rows - by), xpad), jnp.nan, jnp.float32)
     xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32), (h, h))
 
-    kernel = functools.partial(_kernel, h=h, by=by, xpad=xpad, outw=outw,
-                               stat=int(statistic))
-    out = pl.pallas_call(
+    kernel = functools.partial(_kernel, h=h, by=by, rows=rows, xpad=xpad,
+                               outw=outw, stat=int(statistic))
+    ospec = pl.BlockSpec((by, outw), lambda i: (i, 0))
+    oshape = jax.ShapeDtypeStruct((nyb * by, outw), jnp.float32)
+    s, c = pl.pallas_call(
         kernel,
         grid=(nyb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nyb * by, outw), jnp.float32),
+        out_specs=(ospec, ospec),
+        out_shape=(oshape, oshape),
         scratch_shapes=[
-            pltpu.VMEM((by + 2 * h, xpad), jnp.float32),
+            pltpu.VMEM((rows, xpad), jnp.float32),
+            pltpu.VMEM((by, xpad), jnp.float32),
+            pltpu.VMEM((by, xpad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp)
-    return out[:ny, :nx]
+    s = s[:ny, :nx]
+    c = c[:ny, :nx]
+    if int(statistic) == int(Statistic.Count):
+        return c
+    if int(statistic) == int(Statistic.Sum):
+        return jnp.where(c > 0, s, jnp.nan)
+    return jnp.where(c > 0, s / jnp.maximum(c, 1.0), jnp.nan)
