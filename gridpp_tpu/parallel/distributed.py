@@ -132,7 +132,8 @@ def gather_to_host(garr: jax.Array) -> np.ndarray:
 def make_distributed_step(mesh: Mesh, structure, halfwidth: int,
                           statistic: int, max_points: int,
                           allow_extrapolation: bool = True,
-                          field_keys=("x", "y", "z", "elev", "laf")):
+                          field_keys=("x", "y", "z", "elev", "laf"),
+                          block: int = 4096):
     """North-star pipeline over the global mesh, one jitted program.
 
     Returns step(background (Y, X) sharded P('y','x'),
@@ -144,10 +145,14 @@ def make_distributed_step(mesh: Mesh, structure, halfwidth: int,
     Neighbourhood: halo exchange (ppermute: ICI within a host, DCN across
     the host boundary) + local stencil. OI: each shard solves its own
     gridpoints against the replicated observation set (oi_block_dense),
-    no collectives.
+    no collectives. The per-shard OI is chunked over `block`-gridpoint
+    slabs with lax.map so the (block, n_obs) rho panel stays cache/VMEM
+    resident instead of materializing a (tile, n_obs) matrix in HBM —
+    the step is compute-bound, not bandwidth-bound.
     """
     h = int(halfwidth)
     statistic = int(statistic)
+    block = int(block)
     p1_spec = {k: P("y", "x") for k in field_keys}
     obs_spec = {k: P() for k in field_keys}
 
@@ -160,11 +165,22 @@ def make_distributed_step(mesh: Mesh, structure, halfwidth: int,
         if h > 0:
             sm = sm[h:-h, h:-h]
         ty, tx = sm.shape
-        flat_bg = sm.reshape(-1)
-        p1 = {k: v.reshape(-1, 1) for k, v in p1_tiles.items()}
-        out, _ = oi_block_dense(structure, p1, obs_fields, flat_bg,
-                                jnp.ones_like(flat_bg), pobs, pbg, ratios,
-                                int(max_points), bool(allow_extrapolation))
-        return out.reshape(ty, tx)
+        n = ty * tx
+        nb = -(-n // block)
+        pad = nb * block - n
+        flat_bg = jnp.pad(sm.reshape(-1), (0, pad)).reshape(nb, block)
+        p1 = {k: jnp.pad(v.reshape(-1), (0, pad)).reshape(nb, block)
+              for k, v in p1_tiles.items()}
+
+        def solve_slab(slab):
+            bg, fields = slab
+            out, _ = oi_block_dense(
+                structure, {k: v[:, None] for k, v in fields.items()},
+                obs_fields, bg, jnp.ones_like(bg), pobs, pbg, ratios,
+                int(max_points), bool(allow_extrapolation))
+            return out
+
+        out = jax.lax.map(solve_slab, (flat_bg, p1))
+        return out.reshape(-1)[:n].reshape(ty, tx)
 
     return jax.jit(step)
