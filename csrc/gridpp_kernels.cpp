@@ -592,4 +592,133 @@ void doping_square(const int64_t* cy, const int64_t* cx, const float* obs,
     }
 }
 
+// Fused linear-regression gradient (reference src/api/calc_gradient.cpp:
+// 76-124): the reference computes five separate neighbourhood Mean/Sum
+// filters (x, y, x*x, x*y, valid-count) and combines them per cell. This
+// kernel streams all five windowed moments in ONE pass over memory with
+// the nb_meansum ring-buffer scheme, then forms
+//   grad = (mean_xy - mean_x*mean_y) / (mean_xx - mean_x^2)
+// in f32 (mean fields cast to f32 first, like the reference's float
+// neighbourhood outputs). A cell is valid only where BOTH base and
+// values are finite. min_range gates on sqrt(var) when use_min_range.
+void calc_gradient_lr(const float* base, const float* values, int64_t ny,
+                      int64_t nx, int64_t h_, int64_t min_num,
+                      float min_range, int use_min_range,
+                      float default_gradient, float* out) {
+    const int64_t h = std::min(std::max<int64_t>(0, h_),
+                               std::max(ny, nx) - 1);
+    unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+    if (nx < 256) nthreads = 1;
+    std::vector<std::thread> threads;
+    int64_t chunk = (nx + nthreads - 1) / nthreads;
+
+    auto run_slice = [&](int64_t x0, int64_t x1) {
+        const int64_t w = x1 - x0;
+        const int64_t ring = 2 * h + 2;
+        // per-row windowed sums: x, y, xx, xy + count
+        std::vector<double> rx(ring * w), ry(ring * w), rxx(ring * w),
+            rxy(ring * w);
+        std::vector<int32_t> rc(ring * w);
+        std::vector<double> ax(w, 0.0), ay(w, 0.0), axx(w, 0.0),
+            axy(w, 0.0);
+        std::vector<int64_t> ac(w, 0);
+
+        auto compute_row = [&](int64_t yy) {
+            const int64_t o = (yy % ring) * w;
+            double* px = rx.data() + o;
+            double* py = ry.data() + o;
+            double* pxx = rxx.data() + o;
+            double* pxy = rxy.data() + o;
+            int32_t* pc = rc.data() + o;
+            const float* brow = base + yy * nx;
+            const float* vrow = values + yy * nx;
+            double sx = 0, sy = 0, sxx = 0, sxy = 0;
+            int32_t c = 0;
+            auto addcell = [&](int64_t xx, double sign) {
+                float b = brow[xx], v = vrow[xx];
+                if (valid(b) && valid(v)) {
+                    sx += sign * b;
+                    sy += sign * v;
+                    sxx += sign * (double)(b * b);  // f32 products, like
+                    sxy += sign * (double)(b * v);  // the reference
+                    c += (int32_t)sign;
+                }
+            };
+            for (int64_t xx = std::max<int64_t>(0, x0 - h);
+                 xx <= std::min<int64_t>(nx - 1, x0 + h); xx++)
+                addcell(xx, 1.0);
+            for (int64_t x = x0; x < x1; x++) {
+                if (x > x0) {
+                    if (x + h < nx) addcell(x + h, 1.0);
+                    if (x - h - 1 >= 0) addcell(x - h - 1, -1.0);
+                }
+                px[x - x0] = sx;
+                py[x - x0] = sy;
+                pxx[x - x0] = sxx;
+                pxy[x - x0] = sxy;
+                pc[x - x0] = c;
+            }
+        };
+
+        int64_t next_row = 0;
+        for (int64_t y = 0; y < ny; y++) {
+            int64_t top = std::min<int64_t>(y + h, ny - 1);
+            while (next_row <= top) {
+                compute_row(next_row);
+                const int64_t o = (next_row % ring) * w;
+                for (int64_t i = 0; i < w; i++) {
+                    ax[i] += rx[o + i];
+                    ay[i] += ry[o + i];
+                    axx[i] += rxx[o + i];
+                    axy[i] += rxy[o + i];
+                    ac[i] += rc[o + i];
+                }
+                next_row++;
+            }
+            int64_t bot = y - h - 1;
+            if (bot >= 0) {
+                const int64_t o = (bot % ring) * w;
+                for (int64_t i = 0; i < w; i++) {
+                    ax[i] -= rx[o + i];
+                    ay[i] -= ry[o + i];
+                    axx[i] -= rxx[o + i];
+                    axy[i] -= rxy[o + i];
+                    ac[i] -= rc[o + i];
+                }
+            }
+            float* orow = out + y * nx + x0;
+            for (int64_t i = 0; i < w; i++) {
+                int64_t c = ac[i];
+                float g = default_gradient;
+                if (c > 0 && c >= min_num) {
+                    float mx = (float)(ax[i] / (double)c);
+                    float my = (float)(ay[i] / (double)c);
+                    float mxx = (float)(axx[i] / (double)c);
+                    float mxy = (float)(axy[i] / (double)c);
+                    float var = mxx - mx * mx;
+                    if (var != 0.0f && std::isfinite(mx) &&
+                        std::isfinite(mxx) && std::isfinite(mxy)) {
+                        bool ok = true;
+                        if (use_min_range) {
+                            float rngv = std::sqrt(var);
+                            ok = std::isfinite(rngv) && rngv >= min_range;
+                        }
+                        if (ok)
+                            g = (mxy - mx * my) / var;
+                    }
+                }
+                orow[i] = g;
+            }
+        }
+    };
+
+    for (unsigned t = 0; t < nthreads; t++) {
+        int64_t s = t * chunk;
+        int64_t e = std::min<int64_t>(nx, s + chunk);
+        if (s >= e) break;
+        threads.emplace_back(run_slice, s, e);
+    }
+    for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

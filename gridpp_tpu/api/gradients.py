@@ -171,6 +171,13 @@ def calc_gradient(base, values, gradient_type, halfwidth, min_num=2,
         return out
 
     if gradient_type == GradientType.LinearRegression:
+        from .. import native
+        host = native.calc_gradient_lr(
+            np.where(both, base, np.nan), np.where(both, values, np.nan),
+            h, min_num, min_range, bool(np.isfinite(min_range)),
+            default_gradient)
+        if host is not None:
+            return host
         base0 = np.where(both, base, np.nan).astype(np.float32)
         values0 = np.where(both, values, np.nan).astype(np.float32)
         bb = base0 * base0

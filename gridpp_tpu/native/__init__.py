@@ -75,6 +75,8 @@ def get_lib():
         lib.window_run.argtypes = [c_p, c_i64, c_i64, c_i64, c_i32, c_i32,
                                    c_i32, c_i32, c_p]
         lib.nb_meansum.argtypes = [c_p, c_i64, c_i64, c_i64, c_i32, c_p]
+        lib.calc_gradient_lr.argtypes = [c_p, c_p, c_i64, c_i64, c_i64,
+                                         c_i64, c_f32, c_i32, c_f32, c_p]
         lib.index_paint.argtypes = [c_p, c_p, c_i64, c_p, c_p, c_p, c_p,
                                     c_p, c_i32, c_f32, c_p]
         lib.index_build.restype = ctypes.c_void_p
@@ -271,6 +273,24 @@ def nb_meansum(values: np.ndarray, halfwidth: int,
     ny, nx = v.shape
     out = np.empty((ny, nx), np.float32)
     lib.nb_meansum(_ptr(v), ny, nx, int(halfwidth), int(stat), _ptr(out))
+    return out
+
+
+def calc_gradient_lr(base: np.ndarray, values: np.ndarray, halfwidth: int,
+                     min_num: int, min_range: float, use_min_range: bool,
+                     default_gradient: float) -> np.ndarray | None:
+    """Fused windowed linear-regression gradient (calc_gradient.cpp:76-124)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    b = _f32c(base)
+    v = _f32c(values)
+    ny, nx = b.shape
+    out = np.empty((ny, nx), np.float32)
+    lib.calc_gradient_lr(_ptr(b), _ptr(v), ny, nx, int(halfwidth),
+                         int(min_num), float(min_range),
+                         int(bool(use_min_range)), float(default_gradient),
+                         _ptr(out))
     return out
 
 

@@ -114,7 +114,7 @@ def neighbourhood_mean(x: jax.Array, halfwidth: int,
     s, c = pl.pallas_call(
         kernel,
         grid=(nyb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(ospec, ospec),
         out_shape=(oshape, oshape),
         scratch_shapes=[

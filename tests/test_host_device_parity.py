@@ -241,3 +241,56 @@ class TestApiUsesHost:
         dev = np.asarray(cops.apply_curve(jnp.asarray(f), jnp.asarray(cr),
                                           jnp.asarray(cf), 0, 0))
         np.testing.assert_allclose(out, dev, rtol=1e-5, atol=1e-6)
+
+
+class TestCalcGradientLR:
+    """Native fused LR-gradient kernel vs the pure-JAX five-filter path."""
+
+    @pytest.mark.parametrize("h,min_num,min_range", [
+        (1, 2, gridpp.MV), (3, 2, gridpp.MV), (3, 6, gridpp.MV),
+        (2, 2, 5.0), (5, 0, 0.0)])
+    def test_vs_jax_path(self, h, min_num, min_range):
+        rng = np.random.default_rng(42)
+        base = _field((40, 37), seed=1, nan_frac=0.2)
+        values = 2.5 * np.nan_to_num(base) + \
+            rng.normal(0, 1, base.shape).astype(np.float32)
+        values[rng.random(base.shape) < 0.1] = np.nan
+
+        got = native.calc_gradient_lr(
+            np.where(np.isfinite(base) & np.isfinite(values), base, np.nan),
+            np.where(np.isfinite(base) & np.isfinite(values), values,
+                     np.nan),
+            h, min_num, min_range, bool(np.isfinite(min_range)), -9.0)
+
+        from gridpp_tpu.constants import GradientType
+        from gridpp_tpu.ops import neighbourhood as nops2
+        both = np.isfinite(base) & np.isfinite(values)
+        base0 = np.where(both, base, np.nan).astype(np.float32)
+        values0 = np.where(both, values, np.nan).astype(np.float32)
+        mean_x = nops2.neighbourhood(jnp.asarray(base0), h,
+                                     int(Statistic.Mean))
+        mean_y = nops2.neighbourhood(jnp.asarray(values0), h,
+                                     int(Statistic.Mean))
+        mean_xx = nops2.neighbourhood(jnp.asarray(base0 * base0), h,
+                                      int(Statistic.Mean))
+        mean_xy = nops2.neighbourhood(jnp.asarray(base0 * values0), h,
+                                      int(Statistic.Mean))
+        count = nops2.neighbourhood(
+            jnp.asarray(both.astype(np.float32)), h, int(Statistic.Sum))
+        var = mean_xx - mean_x * mean_x
+        grad = (mean_xy - mean_x * mean_y) / jnp.where(var == 0, 1, var)
+        ok = ((count >= min_num) & jnp.isfinite(mean_xx)
+              & jnp.isfinite(mean_xy) & jnp.isfinite(mean_x) & (var != 0))
+        if np.isfinite(min_range):
+            rngv = jnp.sqrt(var)
+            ok = ok & jnp.isfinite(rngv) & (rngv >= min_range)
+        want = np.asarray(jnp.where(ok, grad, -9.0), np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_api_routes_native(self):
+        base = _field((30, 30), seed=3, nan_frac=0.1)
+        values = (1.5 * np.nan_to_num(base)).astype(np.float32)
+        out = gridpp.calc_gradient(base, values, gridpp.LinearRegression,
+                                   3, 2, gridpp.MV, 0.0)
+        assert out.shape == base.shape
+        assert np.isfinite(out).all()
