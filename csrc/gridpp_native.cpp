@@ -370,4 +370,100 @@ void index_radius_count(void* h, const double* q, int64_t nq, double radius,
     });
 }
 
+// Fused radius query + statistic (reference src/api/gridding.cpp:6-61:
+// per-cell radius query then calc_statistic). One pass per query cell:
+// walk the covering cells, accumulate (Mean/Sum/Count/Std/Variance) or
+// gather+sort (Min/Max/Median/Quantile with order-statistic
+// interpolation, util.cpp:111-178 semantics). min_num gates on the RAW
+// in-radius count; the statistic itself skips non-finite values.
+// stat codes match constants.py Statistic.
+void index_radius_stat(void* h, const double* q, int64_t nq, double radius,
+                       const float* values, int32_t stat, double quantile,
+                       int64_t min_num, float* out) {
+    const Index& idx = *(Index*)h;
+    const double r2 = radius * radius;
+    const float nanf = std::numeric_limits<float>::quiet_NaN();
+    // Statistic codes from constants.py / gridpp.h:89-101
+    enum { kMean = 0, kMin = 10, kMedian = 20, kMax = 30, kQuantile = 40,
+           kStd = 50, kVariance = 60, kSum = 70, kCount = 80 };
+    const bool order_stat = (stat == kMin || stat == kMax ||
+                             stat == kMedian || stat == kQuantile);
+    double qv = quantile;
+    if (stat == kMin) qv = 0.0;
+    else if (stat == kMax) qv = 1.0;
+    else if (stat == kMedian) qv = 0.5;
+
+    parallel_for(nq, [&](int64_t s, int64_t e) {
+        std::vector<float> buf;
+        for (int64_t j = s; j < e; j++) {
+            double qx = q[3 * j], qy = q[3 * j + 1], qz = q[3 * j + 2];
+            int64_t c0x, c0y, c0z, c1x, c1y, c1z;
+            idx.cell_of(qx - radius, qy - radius, qz - radius,
+                        c0x, c0y, c0z);
+            idx.cell_of(qx + radius, qy + radius, qz + radius,
+                        c1x, c1y, c1z);
+            c0x = std::max(c0x, idx.c0[0]); c1x = std::min(c1x, idx.c1[0]);
+            c0y = std::max(c0y, idx.c0[1]); c1y = std::min(c1y, idx.c1[1]);
+            c0z = std::max(c0z, idx.c0[2]); c1z = std::min(c1z, idx.c1[2]);
+            int64_t nraw = 0, cnt = 0;
+            double acc = 0, acc2 = 0;
+            buf.clear();
+            for (int64_t ix = c0x; ix <= c1x; ix++) {
+                for (int64_t iy = c0y; iy <= c1y; iy++) {
+                    for (int64_t iz = c0z; iz <= c1z; iz++) {
+                        auto it = idx.cells.find(idx.key(ix, iy, iz));
+                        if (it == idx.cells.end()) continue;
+                        for (int32_t p = it->second.first;
+                             p < it->second.second; p++) {
+                            int32_t i = idx.order[p];
+                            if (dist2(idx, i, qx, qy, qz) > r2) continue;
+                            nraw++;
+                            float v = values[i];
+                            if (!std::isfinite(v)) continue;
+                            cnt++;
+                            if (order_stat) {
+                                buf.push_back(v);
+                            } else {
+                                acc += v;
+                                if (stat == kStd || stat == kVariance)
+                                    acc2 += (double)v * v;
+                            }
+                        }
+                    }
+                }
+            }
+            float o = nanf;
+            if (min_num > 0 && nraw < min_num) {
+                out[j] = nanf;  // gated regardless of statistic
+                continue;
+            }
+            if (stat == kCount) {
+                o = (float)cnt;
+            } else if (cnt > 0) {
+                if (stat == kSum) {
+                    o = (float)acc;
+                } else if (stat == kMean) {
+                    o = (float)(acc / (double)cnt);
+                } else if (stat == kStd || stat == kVariance) {
+                    double c = (double)cnt;
+                    double var = acc2 / c - (acc / c) * (acc / c);
+                    if (var < 0) var = 0;
+                    o = (float)(stat == kStd ? std::sqrt(var) : var);
+                } else {  // order statistics with linear interpolation
+                    std::sort(buf.begin(), buf.end());
+                    double qn = qv * (double)(cnt - 1);
+                    int64_t lo = (int64_t)std::floor(qn);
+                    int64_t hi = (int64_t)std::ceil(qn);
+                    double lv = buf[std::min<int64_t>(lo, cnt - 1)];
+                    double uv = buf[std::min<int64_t>(hi, cnt - 1)];
+                    double f = hi > lo ? (qn - (double)lo) /
+                                             (double)(hi - lo) : 0.0;
+                    o = (float)(lv + (uv - lv) * f);
+                }
+            }
+            out[j] = o;
+        }
+    });
+}
+
 }  // extern "C"

@@ -102,11 +102,20 @@ def gridding(target, points, values, radius, min_num, statistic):
     if min_num < 0:
         raise ValueError("min_num must be >= 0")
     qlats, qlons, oshape = _target_latlon_flat(target)
-    lists = points.index.tree.query_ball_point(
-        np.stack(coords.convert_coordinates_np(
-            qlats.astype(np.float64), qlons.astype(np.float64),
-            points.get_coordinate_type()), axis=-1),
-        r=float(radius), workers=-1)
+    statistic = int(statistic)
+    q = np.stack(coords.convert_coordinates_np(
+        qlats.astype(np.float64), qlons.astype(np.float64),
+        points.get_coordinate_type()), axis=-1)
+    if statistic in (Statistic.Mean, Statistic.Min, Statistic.Median,
+                     Statistic.Max, Statistic.Quantile, Statistic.Std,
+                     Statistic.Variance, Statistic.Sum, Statistic.Count):
+        native = points.index.native
+        if native is not None:
+            out = native.radius_stat(q, float(radius), values, statistic,
+                                     min_num=int(min_num))
+            return out.reshape(oshape)
+    lists = points.index.tree.query_ball_point(q, r=float(radius),
+                                               workers=-1)
     ncell = len(lists)
     lens = np.fromiter((len(l) for l in lists), np.int64, count=ncell)
     flat_idx = np.fromiter(itertools.chain.from_iterable(lists), np.int64,

@@ -91,6 +91,9 @@ def get_lib():
         lib.index_radius_count.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                            ctypes.c_int64, ctypes.c_double,
                                            ctypes.c_void_p]
+        lib.index_radius_stat.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_int64, ctypes.c_double,
+                                          c_p, c_i32, c_f64, c_i64, c_p]
         _lib = lib
         return _lib
 
@@ -144,6 +147,21 @@ class NativeIndex:
                                      q.ctypes.data_as(ctypes.c_void_p),
                                      q.shape[0], float(radius),
                                      out.ctypes.data_as(ctypes.c_void_p))
+        return out
+
+    def radius_stat(self, q: np.ndarray, radius: float, values: np.ndarray,
+                    stat: int, quantile: float = 0.5,
+                    min_num: int = 0) -> np.ndarray:
+        """Fused radius query + statistic over indexed-point values."""
+        q = np.ascontiguousarray(q, dtype=np.float64)
+        v = np.ascontiguousarray(values, np.float32)
+        out = np.empty(q.shape[0], dtype=np.float32)
+        self._lib.index_radius_stat(self._handle,
+                                    q.ctypes.data_as(ctypes.c_void_p),
+                                    q.shape[0], float(radius), _ptr(v),
+                                    np.int32(int(stat)), float(quantile),
+                                    int(min_num),
+                                    out.ctypes.data_as(ctypes.c_void_p))
         return out
 
     def paint(self, q: np.ndarray, radii: np.ndarray, out: np.ndarray,

@@ -346,3 +346,55 @@ class TestSwigParity:
         assert arr.shape == (10,)
         with pytest.raises(NotImplementedError):
             gridpp.test_not_implemented_exception()
+
+
+class TestGriddingNativeParity:
+    """Native fused radius_stat vs the scipy list + segment-statistic
+    path, on NaN-laden random obs (cross-implementation strategy of the
+    reference's own fast-vs-brute tests)."""
+
+    @pytest.mark.parametrize("stat", [
+        gridpp.Mean, gridpp.Min, gridpp.Median, gridpp.Max, gridpp.Std,
+        gridpp.Variance, gridpp.Sum, gridpp.Count])
+    @pytest.mark.parametrize("min_num", [0, 2])
+    def test_vs_scipy_path(self, stat, min_num):
+        from gridpp_tpu.api import gridding as gmod
+        from gridpp_tpu.constants import Statistic, MV
+        import itertools
+
+        rng = np.random.default_rng(7)
+        n = 25
+        lats, lons = np.meshgrid(np.linspace(50, 51, n),
+                                 np.linspace(5, 6, n), indexing="ij")
+        grid = gridpp.Grid(lats, lons)
+        num = 800
+        pts = gridpp.Points(rng.uniform(50, 51, num),
+                            rng.uniform(5, 6, num),
+                            np.zeros(num), np.zeros(num))
+        vals = rng.normal(0, 10, num).astype(np.float32)
+        vals[rng.random(num) < 0.2] = np.nan
+        radius = 8000.0
+
+        got = gridpp.gridding(grid, pts, vals, radius, min_num, stat)
+
+        # independent reference: scipy radius lists + segment statistic
+        from gridpp_tpu.core import coords
+        q = np.stack(coords.convert_coordinates_np(
+            lats.ravel().astype(np.float64),
+            lons.ravel().astype(np.float64),
+            pts.get_coordinate_type()), axis=-1)
+        lists = pts.index.tree.query_ball_point(q, r=radius, workers=-1)
+        lens = np.fromiter((len(l) for l in lists), np.int64,
+                           count=len(lists))
+        flat = np.fromiter(itertools.chain.from_iterable(lists), np.int64,
+                           count=int(lens.sum()))
+        res = gmod._segment_statistic(vals[flat], lens, int(stat))
+        want = np.full(len(lists), MV, np.float32)
+        allowed = lens >= min_num if min_num > 0 else np.ones(len(lists),
+                                                             bool)
+        nonzero = allowed & (lens > 0)
+        want[nonzero] = res[nonzero]
+        if int(stat) == Statistic.Count:
+            want[allowed & (lens == 0)] = 0
+        np.testing.assert_allclose(got.ravel(), want, rtol=1e-5,
+                                   atol=1e-5, equal_nan=True)
