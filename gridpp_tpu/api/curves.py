@@ -150,6 +150,36 @@ def calc_score(*args):
     return float(np.asarray(ops.calc_score(a, b, c, d, int(metric))))
 
 
+def _score_scalar(a, b, c, d, metric):
+    """Host scalar calc_score in f32 (metric_optimizer.cpp:207-244) —
+    same arithmetic as ops.calc_score without a device dispatch."""
+    a = np.float32(a)
+    b = np.float32(b)
+    c = np.float32(c)
+    d = np.float32(d)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if metric == Metric.Ets:
+            n = a + b + c + d
+            ar = (a + b) / n * (a + c)
+            denom = a + b + c - ar
+            return float(np.nan) if denom == 0 else float((a - ar) / denom)
+        if metric == Metric.Ts:
+            return float(a / (a + b + c))
+        if metric == Metric.Pc:
+            return float((a + d) / (a + b + c + d))
+        if metric == Metric.Kss:
+            denom = (a + c) * (b + d)
+            return float(np.nan) if denom == 0 else \
+                float((a * d - b * c) / denom)
+        if metric == Metric.Bias:
+            return 1.0 if b == c else float(1 - np.abs(b - c) / (b + c))
+        if metric == Metric.Hss:
+            denom = (a + c) * (c + d) + (a + b) * (b + d)
+            return float(np.nan) if denom == 0 else \
+                float(2.0 * (a * d - b * c) / denom)
+    raise ValueError("Unknown metric")
+
+
 def _score_neg(ref, fcst, threshold, x, metric):
     """-score of forecast threshold x (the Brent objective)."""
     fpos = fcst > x
@@ -159,7 +189,7 @@ def _score_neg(ref, fcst, threshold, x, metric):
     b = float(np.sum(fpos & rneg))
     c = float(np.sum(~fpos & rpos))
     d = float(np.sum(~fpos & rneg))
-    return -float(np.asarray(ops.calc_score(a, b, c, d, metric)))
+    return -_score_scalar(a, b, c, d, metric)
 
 
 def get_optimal_threshold(ref, fcst, threshold, metric):
@@ -178,8 +208,26 @@ def get_optimal_threshold(ref, fcst, threshold, metric):
     fmin = float(np.min(fcst))
     fmax = float(np.max(fcst))
 
+    # Presort the forecasts by observed class ONCE; every objective
+    # evaluation is then two binary searches instead of four full-array
+    # reductions (the reference re-scans per Brent iteration,
+    # metric_optimizer.cpp:189-206 — semantics identical: NaN ref rows
+    # count in neither class; NaN fcst rows count as "not positive").
+    rpos = ref > threshold
+    rneg = ref <= threshold  # NaN ref is in neither
+    fp = np.sort(fcst[rpos])
+    fn = np.sort(fcst[rneg])
+    npos = fp.size
+    nneg = fn.size
+    nfp = int(np.sum(np.isfinite(fp)))  # NaNs sort last
+    nfn = int(np.sum(np.isfinite(fn)))
+
     def func(x):
-        return _score_neg(ref, fcst, threshold, x, metric)
+        a = nfp - int(np.searchsorted(fp[:nfp], x, side="right"))
+        b = nfn - int(np.searchsorted(fn[:nfn], x, side="right"))
+        c = npos - a
+        d = nneg - b
+        return -_score_scalar(a, b, c, d, metric)
 
     b_count = 10
     bins = [fmin + (fmax - fmin) / (b_count - 1) * b for b in range(b_count)]
