@@ -592,6 +592,145 @@ void doping_square(const int64_t* cy, const int64_t* cx, const float* obs,
     }
 }
 
+// Fused threshold-CDF windowed quantile (reference src/api/
+// neighbourhood.cpp:296-527 neighbourhood_quantile_fast): the reference
+// runs one Mean filter per threshold then interpolates the quantile
+// across the T CDF fields. This kernel streams ALL T indicator sums and
+// the valid count in ONE ring-buffer pass (indicator sums are exact
+// integers, so int accumulators reproduce the double-SAT arithmetic
+// bit-for-bit), then does the inverse-CDF interpolation inline per cell
+// with gridpp::interpolate's flat-interval rules and the exact-edge
+// special cases (neighbourhood.cpp:385-401). qfield (nullable)
+// overrides the scalar quantile per cell.
+void nb_quantile_fast(const float* in, int64_t ny, int64_t nx, int64_t h_,
+                      const float* thresholds, int64_t t,
+                      const float* qfield, float q_scalar, float* out) {
+    const int64_t h = std::min(std::max<int64_t>(0, h_),
+                               std::max(ny, nx) - 1);
+    const float nanf = std::numeric_limits<float>::quiet_NaN();
+    unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+    if (nx < 256) nthreads = 1;
+    std::vector<std::thread> threads;
+    int64_t chunk = (nx + nthreads - 1) / nthreads;
+
+    auto run_slice = [&](int64_t x0, int64_t x1) {
+        const int64_t w = x1 - x0;
+        const int64_t ring = 2 * h + 2;
+        std::vector<int32_t> rs(ring * w * t), rc(ring * w);
+        std::vector<int64_t> acc(w * t, 0), accc(w, 0);
+        std::vector<float> cdf(t);
+
+        auto compute_row = [&](int64_t yy) {
+            int32_t* ps = rs.data() + (yy % ring) * w * t;
+            int32_t* pc = rc.data() + (yy % ring) * w;
+            const float* row = in + yy * nx;
+            std::vector<int32_t> s(t, 0);
+            int32_t c = 0;
+            auto addcell = [&](int64_t xx, int32_t sign) {
+                float v = row[xx];
+                if (valid(v)) {
+                    c += sign;
+                    for (int64_t k = 0; k < t; k++)
+                        s[k] += sign * (int32_t)(v <= thresholds[k]);
+                }
+            };
+            for (int64_t xx = std::max<int64_t>(0, x0 - h);
+                 xx <= std::min<int64_t>(nx - 1, x0 + h); xx++)
+                addcell(xx, 1);
+            for (int64_t x = x0; x < x1; x++) {
+                if (x > x0) {
+                    if (x + h < nx) addcell(x + h, 1);
+                    if (x - h - 1 >= 0) addcell(x - h - 1, -1);
+                }
+                pc[x - x0] = c;
+                for (int64_t k = 0; k < t; k++)
+                    ps[(x - x0) * t + k] = s[k];
+            }
+        };
+
+        int64_t next_row = 0;
+        for (int64_t y = 0; y < ny; y++) {
+            int64_t top = std::min<int64_t>(y + h, ny - 1);
+            while (next_row <= top) {
+                compute_row(next_row);
+                const int32_t* ps = rs.data() + (next_row % ring) * w * t;
+                const int32_t* pc = rc.data() + (next_row % ring) * w;
+                for (int64_t i = 0; i < w; i++) {
+                    accc[i] += pc[i];
+                    for (int64_t k = 0; k < t; k++)
+                        acc[i * t + k] += ps[i * t + k];
+                }
+                next_row++;
+            }
+            int64_t bot = y - h - 1;
+            if (bot >= 0) {
+                const int32_t* ps = rs.data() + (bot % ring) * w * t;
+                const int32_t* pc = rc.data() + (bot % ring) * w;
+                for (int64_t i = 0; i < w; i++) {
+                    accc[i] -= pc[i];
+                    for (int64_t k = 0; k < t; k++)
+                        acc[i * t + k] -= ps[i * t + k];
+                }
+            }
+            float* orow = out + y * nx + x0;
+            const float* qrow = qfield ? qfield + y * nx + x0 : nullptr;
+            for (int64_t i = 0; i < w; i++) {
+                float q = qrow ? qrow[i] : q_scalar;
+                int64_t c = accc[i];
+                if (c <= 0 || !std::isfinite(q)) {
+                    orow[i] = nanf;
+                    continue;
+                }
+                for (int64_t k = 0; k < t; k++) {
+                    float v = (float)((double)acc[i * t + k] / (double)c);
+                    cdf[k] = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
+                }
+                // inverse CDF (ops/neighbourhood._interp_quantile_tyx)
+                int64_t left = 0, right = 0;
+                for (int64_t k = 0; k < t; k++) {
+                    left += (int64_t)(cdf[k] < q);
+                    right += (int64_t)(cdf[k] <= q);
+                }
+                bool has_exact = right > left;
+                int64_t i0 = has_exact ? left : left - 1;
+                int64_t i1 = has_exact ? right - 1 : right;
+                int64_t i0c = std::min(std::max<int64_t>(i0, 0), t - 1);
+                int64_t i1c = std::min(std::max<int64_t>(i1, 0), t - 1);
+                float xx0 = cdf[i0c], xx1 = cdf[i1c];
+                float yy0 = thresholds[i0c], yy1 = thresholds[i1c];
+                bool flat = xx0 == xx1;
+                float y_out;
+                if (flat) {
+                    if (i0 == 0 && i1 == t - 1)
+                        y_out = (yy0 + yy1) * 0.5f;
+                    else if (i0 == 0)
+                        y_out = yy1;
+                    else if (i1 == t - 1)
+                        y_out = yy0;
+                    else
+                        y_out = (yy0 + yy1) * 0.5f;
+                } else {
+                    y_out = yy0 + (yy1 - yy0) * (q - xx0) / (xx1 - xx0);
+                }
+                if (q > cdf[t - 1]) y_out = thresholds[t - 1];
+                if (q < cdf[0]) y_out = thresholds[0];
+                if (q == 1.0f && cdf[0] == 1.0f) y_out = thresholds[0];
+                if (q == 0.0f && cdf[t - 1] == 0.0f)
+                    y_out = thresholds[t - 1];
+                orow[i] = y_out;
+            }
+        }
+    };
+
+    for (unsigned th = 0; th < nthreads; th++) {
+        int64_t s = th * chunk;
+        int64_t e = std::min<int64_t>(nx, s + chunk);
+        if (s >= e) break;
+        threads.emplace_back(run_slice, s, e);
+    }
+    for (auto& th : threads) th.join();
+}
+
 // Fused linear-regression gradient (reference src/api/calc_gradient.cpp:
 // 76-124): the reference computes five separate neighbourhood Mean/Sum
 // filters (x, y, x*x, x*y, valid-count) and combines them per cell. This

@@ -193,6 +193,13 @@ def neighbourhood_quantile_fast(input, quantile, halfwidth, thresholds):
         raise ValueError("All quantiles must be >= 0 and <= 1")
     if thresholds.size == 0:
         return np.full((ny, nx), MV, np.float32)
+    if input.ndim == 2:
+        host = native.nb_quantile_fast(
+            input, int(halfwidth), thresholds,
+            q if np.ndim(q) else None,
+            float(q) if not np.ndim(q) else 0.0)
+        if host is not None:
+            return host
     out = ops.neighbourhood_quantile_fast(
         jnp.asarray(input), jnp.asarray(q), int(halfwidth),
         jnp.asarray(thresholds))

@@ -77,6 +77,8 @@ def get_lib():
         lib.nb_meansum.argtypes = [c_p, c_i64, c_i64, c_i64, c_i32, c_p]
         lib.calc_gradient_lr.argtypes = [c_p, c_p, c_i64, c_i64, c_i64,
                                          c_i64, c_f32, c_i32, c_f32, c_p]
+        lib.nb_quantile_fast.argtypes = [c_p, c_i64, c_i64, c_i64, c_p,
+                                         c_i64, c_p, c_f32, c_p]
         lib.index_paint.argtypes = [c_p, c_p, c_i64, c_p, c_p, c_p, c_p,
                                     c_p, c_i32, c_f32, c_p]
         lib.index_build.restype = ctypes.c_void_p
@@ -291,6 +293,25 @@ def nb_meansum(values: np.ndarray, halfwidth: int,
     ny, nx = v.shape
     out = np.empty((ny, nx), np.float32)
     lib.nb_meansum(_ptr(v), ny, nx, int(halfwidth), int(stat), _ptr(out))
+    return out
+
+
+def nb_quantile_fast(values: np.ndarray, halfwidth: int,
+                     thresholds: np.ndarray,
+                     qfield: np.ndarray | None,
+                     q_scalar: float) -> np.ndarray | None:
+    """Fused threshold-CDF windowed quantile (neighbourhood.cpp:296-527)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = _f32c(values)
+    thr = np.ascontiguousarray(thresholds, np.float32)
+    ny, nx = v.shape
+    qf = None if qfield is None else _f32c(qfield)
+    out = np.empty((ny, nx), np.float32)
+    lib.nb_quantile_fast(_ptr(v), ny, nx, int(halfwidth), _ptr(thr),
+                         thr.size, None if qf is None else _ptr(qf),
+                         float(q_scalar), _ptr(out))
     return out
 
 

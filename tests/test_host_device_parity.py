@@ -294,3 +294,39 @@ class TestCalcGradientLR:
                                    3, 2, gridpp.MV, 0.0)
         assert out.shape == base.shape
         assert np.isfinite(out).all()
+
+
+class TestNbQuantileFastNative:
+    """Native fused threshold-CDF quantile kernel vs the jitted XLA op."""
+
+    @pytest.mark.parametrize("h", [0, 1, 4])
+    @pytest.mark.parametrize("q", [0.0, 0.1, 0.5, 1.0])
+    def test_scalar_q(self, h, q):
+        x = _field((45, 38), seed=11, nan_frac=0.2)
+        thr = np.linspace(-20, 20, 9).astype(np.float32)
+        got = native.nb_quantile_fast(x, h, thr, None, q)
+        want = np.asarray(nops.neighbourhood_quantile_fast(
+            jnp.asarray(x), jnp.float32(q), h, jnp.asarray(thr)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   equal_nan=True)
+
+    def test_quantile_field(self):
+        x = _field((30, 30), seed=12, nan_frac=0.1)
+        thr = np.linspace(-20, 20, 7).astype(np.float32)
+        rng = np.random.default_rng(5)
+        qf = rng.random((30, 30)).astype(np.float32)
+        qf[0, 0] = np.nan
+        got = native.nb_quantile_fast(x, 2, thr, qf, 0.0)
+        want = np.asarray(nops.neighbourhood_quantile_fast(
+            jnp.asarray(x), jnp.asarray(qf), 2, jnp.asarray(thr)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   equal_nan=True)
+
+    def test_api_routes_native(self):
+        x = _field((25, 25), seed=6, nan_frac=0.1)
+        thr = np.linspace(-20, 20, 11).astype(np.float32)
+        out = gridpp.neighbourhood_quantile_fast(x, 0.5, 2, thr)
+        want = np.asarray(nops.neighbourhood_quantile_fast(
+            jnp.asarray(x), jnp.float32(0.5), 2, jnp.asarray(thr)))
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6,
+                                   equal_nan=True)
