@@ -72,6 +72,23 @@ def main():
     dt_general = (time.time() - t0) / cycles
     assert all(np.isfinite(o).all() for o in outs_g)
 
+    # Ensemble OI (EnSI) serving path — BASELINE.json's north-star target
+    # is 2000^2 ENSEMBLE OI with 10k obs. Device-resident cycle: member
+    # fields stay on device, per cycle only obs values change.
+    n_ens = 10
+    bg_ens = jnp.asarray(
+        rng.normal(280, 5, (n, n, n_ens)).astype(np.float32))
+    psig = jnp.asarray(np.full(p, 1.5, np.float32))
+    epipe = gridpp.EnsiPipeline(grid, points, structure, max_points=10)
+    out_e, _ = epipe.run_device(bg_ens, jnp.asarray(pobs), psig)
+    jax.block_until_ready(out_e)  # compile + warm
+    t0 = time.time()
+    outs_e = [epipe.run_device(bg_ens, jnp.asarray(obs[i]), psig)[0]
+              for i in range(cycles)]
+    jax.block_until_ready(outs_e)
+    dt_ensi = (time.time() - t0) / cycles
+    assert np.isfinite(np.asarray(outs_e[0])).all()
+
     value = n * n / dt
     baseline = 12_490.0  # reference combined gridpoints/s (see docstring)
     print(json.dumps({
@@ -81,6 +98,7 @@ def main():
         "vs_baseline": round(value / baseline, 2),
         "path_fast_static_ratios_pts_per_s": round(n * n / dt, 1),
         "path_general_dynamic_pts_per_s": round(n * n / dt_general, 1),
+        "ensi_10member_pts_per_s": round(n * n / dt_ensi, 1),
     }))
 
 

@@ -1,6 +1,8 @@
 """Meteorological diagnostics API (scalar/vector dispatch + validation)."""
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -126,6 +128,19 @@ def gamma_inv(levels, shape, scale):
         raise ValueError("Shapes must be > 0.")
     if np.any(~np.isfinite(scale)) or np.any(scale <= 0):
         raise ValueError("Scale must be > 0.")
-    return (special.gammaincinv(shape.astype(np.float64),
-                                levels.astype(np.float64))
-            * scale).astype(np.float32)
+    sh64 = shape.astype(np.float64)
+    lv64 = levels.astype(np.float64)
+    out = np.empty(sh64.shape, np.float64)
+    # scipy's ufunc releases the GIL; split across cores
+    import concurrent.futures as _fut
+    ncpu = min(len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity")
+               else (os.cpu_count() or 1), 8)
+    if ncpu > 1 and sh64.size >= 65536:
+        bounds = np.linspace(0, sh64.size, ncpu + 1).astype(np.int64)
+        with _fut.ThreadPoolExecutor(max_workers=ncpu) as ex:
+            list(ex.map(lambda i: special.gammaincinv(
+                sh64[bounds[i]:bounds[i + 1]], lv64[bounds[i]:bounds[i + 1]],
+                out=out[bounds[i]:bounds[i + 1]]), range(ncpu)))
+    else:
+        special.gammaincinv(sh64, lv64, out=out)
+    return (out * scale).astype(np.float32)

@@ -31,10 +31,11 @@ from ..core.grid import Grid
 from ..core.points import Points
 from ..ops import neighbourhood as nops
 from ..ops.oi import make_oi_select_sweep, oi_block_from_candidates
+from ..ops.oi_ensi import _ensi_update
 from ..ops import oi_tiled as tiled_ops
 from .oi import _device_fields, _origin, _resolved_fields
 
-__all__ = ["Pipeline"]
+__all__ = ["Pipeline", "EnsiPipeline"]
 
 
 class Pipeline:
@@ -279,3 +280,129 @@ class Pipeline:
                              "static ratios)")
         pratios = jnp.asarray(np.asarray(pratios, np.float32))
         return self._run(background, pobs, pratios)
+
+
+class EnsiPipeline:
+    """Ensemble OI (EnSI) serving path, fused on device.
+
+    BASELINE's north star is 2000^2 *ensemble* OI with 10k observations;
+    this is its production entry point. Same design as `Pipeline`: the
+    per-gridpoint top-rho candidate shortlist (the radius query + top-k
+    of oi_ensi.cpp:207-269) is pure geometry, computed ONCE on device at
+    construction; a forecast cycle then only uploads the member fields
+    and obs vectors, masks candidates with invalid obs, re-selects the
+    top max_points, and runs the batched local ensemble transform
+    (eigh of the E x E Pinv, ops/oi_ensi._ensi_update) in one program.
+    Matches optimal_interpolation_ensi whenever >= max_points shortlist
+    candidates carry valid obs (candidates > max_points is the slack).
+
+    The per-member neighbourhood smoothing stage (halfwidth > 0) is
+    vmapped over the ensemble axis. pbackground at the obs points is
+    gathered on device from the (smoothed) background via the cached
+    nearest map, as the reference CLI's OI calibrator interpolates it.
+    """
+
+    def __init__(self, grid: Grid, points: Points, structure,
+                 halfwidth: int = 0, statistic: int = Statistic.Mean,
+                 max_points: int = 10, allow_extrapolation: bool = True,
+                 block: int = 16384, candidates: int | None = None):
+        self.grid = grid
+        self.points = points
+        self.structure = structure
+        self.shape = tuple(grid.size())
+        bpoints = grid.to_points()
+        origin = _origin(bpoints)
+        p1 = _device_fields(bpoints, structure, origin)
+        obs_fields = _device_fields(points, structure, origin)
+        self._obs_nn = jnp.asarray(
+            grid.nearest_map(points.lats, points.lons, cache_obj=points))
+        n = self.shape[0] * self.shape[1]
+        n_obs = points.size()
+        halfwidth = int(halfwidth)
+        statistic = int(statistic)
+        max_points = int(max_points)
+        allow = bool(allow_extrapolation)
+        if candidates is None:
+            candidates = 2 * max_points if max_points > 0 else n_obs
+        k_cap = max(1, min(int(candidates), n_obs))
+
+        select = make_oi_select_sweep(structure, k_cap, block)
+        sel, rho, valid = select(p1, obs_fields)
+
+        nb = -(-n // block)
+        pad = nb * block - n
+
+        def pad_to(v, fill):
+            if not pad:
+                return v
+            return jnp.concatenate(
+                [v, jnp.full((pad,) + v.shape[1:], fill, v.dtype)])
+
+        self._cand = jax.block_until_ready((
+            pad_to(sel, 0).reshape(nb, block, k_cap),
+            pad_to(rho, 0).reshape(nb, block, k_cap),
+            pad_to(valid, False).reshape(nb, block, k_cap)))
+        shape = self.shape
+        struct = structure
+        s_cap = min(max_points, k_cap) if max_points > 0 else k_cap
+        obs_nn = self._obs_nn
+
+        @jax.jit
+        def run(background, pobs, psigmas, sel_c, rho_c, val_c, obs_nn):
+            # background: (Y, X, E)
+            e = background.shape[-1]
+            smoothed = background
+            if halfwidth > 0:
+                smoothed = jax.vmap(
+                    lambda f: nops.neighbourhood(f, halfwidth, statistic),
+                    in_axes=2, out_axes=2)(background)
+            flat = smoothed.reshape(n, e)
+            pback = jnp.take(flat, obs_nn, axis=0)  # (P, E)
+            fin = jnp.isfinite(pback)
+            cnt = jnp.sum(fin, axis=1)
+            y_hat = jnp.where(
+                cnt > 0,
+                jnp.sum(jnp.where(fin, pback, 0.0), axis=1)
+                / jnp.maximum(cnt, 1), jnp.nan)
+            y_anom = jnp.where(fin & jnp.isfinite(y_hat)[:, None],
+                               pback - y_hat[:, None], pback)
+            obs_ok = jnp.isfinite(pobs)
+            bg = pad_to(flat, jnp.nan).reshape(nb, block, e)
+
+            def body(args):
+                selc, rhoc, valc, bgc = args
+                v = valc & jnp.take(obs_ok, selc, axis=0)
+                vals, sub = jax.lax.top_k(
+                    jnp.where(v, rhoc, -jnp.inf), s_cap)
+                sel_valid = jnp.isfinite(vals)
+                l_rho = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
+                g = jnp.take_along_axis(selc, sub, axis=1)
+                l_obs = jnp.take(pobs, g, axis=0)
+                l_sig = jnp.take(psigmas, g, axis=0)
+                l_yhat = jnp.take(y_hat, g, axis=0)
+                l_y = jnp.take(y_anom, g, axis=0)  # (B, S, E)
+                out, cond_bad = _ensi_update(
+                    struct, sel_valid, l_rho, l_obs, l_sig, l_y, l_yhat,
+                    bgc, allow)
+                return out, cond_bad
+
+            out, cond_bad = jax.lax.map(body, (sel_c, rho_c, val_c, bg))
+            return (out.reshape(-1, e)[:n].reshape(shape + (e,)),
+                    jnp.sum(cond_bad.reshape(-1)[:n]))
+
+        self._run = lambda b, o, s: run(b, o, s, *self._cand,
+                                        self._obs_nn)
+
+    def run_device(self, background, pobs, psigmas):
+        """Device-to-device cycle: background (Y, X, E) jax.Array,
+        pobs/psigmas (P,). Returns (analysis (Y, X, E), n_cond_failures
+        device scalar)."""
+        return self._run(background, pobs, psigmas)
+
+    def __call__(self, background, pobs, psigmas):
+        """numpy convenience wrapper (one upload, one download)."""
+        out, _ = self.run_device(
+            jnp.asarray(np.asarray(background, np.float32)),
+            jnp.asarray(np.asarray(pobs, np.float32)),
+            jnp.asarray(np.asarray(psigmas, np.float32)))
+        return np.asarray(out)

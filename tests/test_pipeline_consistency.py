@@ -99,3 +99,63 @@ def test_missing_background_cells():
     # NaN background cells stay NaN in both
     assert np.isnan(out[::5, ::7]).all()
     np.testing.assert_allclose(out, plain, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ensi_pipeline_vs_plain(seed):
+    """EnsiPipeline (device serving path) vs optimal_interpolation_ensi
+    on a randomized network with missing obs."""
+    rng = np.random.default_rng(100 + seed)
+    n, n_obs, e = 30, 50, 6
+    lats, lons = np.meshgrid(np.linspace(55, 58, n),
+                             np.linspace(5, 8, n), indexing="ij")
+    grid = gridpp.Grid(lats, lons)
+    pts = gridpp.Points(rng.uniform(55, 58, n_obs),
+                        rng.uniform(5, 8, n_obs),
+                        np.zeros(n_obs), np.zeros(n_obs))
+    background = rng.normal(280, 5, (n, n, e)).astype(np.float32)
+    structure = gridpp.BarnesStructure(30000.0)
+    # pbackground: nearest-gather per member, as the pipeline does
+    idx = grid.nearest_map(pts.lats, pts.lons)
+    pback = background.reshape(-1, e)[idx]
+    pobs = (pback.mean(axis=1) + rng.normal(0, 2, n_obs)).astype(
+        np.float32)
+    pobs[rng.random(n_obs) < 0.2] = np.nan
+    psig = np.full(n_obs, 1.5, np.float32)
+
+    want = gridpp.optimal_interpolation_ensi(
+        grid, background, pts, pobs, psig, pback, structure, 5)
+    pipe = gridpp.EnsiPipeline(grid, pts, structure, max_points=5,
+                               candidates=n_obs)
+    got = pipe(background, pobs, psig)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_ensi_pipeline_smoothing():
+    """halfwidth > 0 smooths each member before the ensemble update."""
+    rng = np.random.default_rng(3)
+    n, n_obs, e = 24, 20, 4
+    lats, lons = np.meshgrid(np.linspace(55, 57, n),
+                             np.linspace(5, 7, n), indexing="ij")
+    grid = gridpp.Grid(lats, lons)
+    pts = gridpp.Points(rng.uniform(55, 57, n_obs),
+                        rng.uniform(5, 7, n_obs),
+                        np.zeros(n_obs), np.zeros(n_obs))
+    background = rng.normal(280, 5, (n, n, e)).astype(np.float32)
+    structure = gridpp.BarnesStructure(30000.0)
+    sm = np.stack([gridpp.neighbourhood(background[:, :, k], 2,
+                                        gridpp.Mean)
+                   for k in range(e)], axis=-1).astype(np.float32)
+    idx = grid.nearest_map(pts.lats, pts.lons)
+    pback = sm.reshape(-1, e)[idx]
+    pobs = (pback.mean(axis=1) + rng.normal(0, 2, n_obs)).astype(
+        np.float32)
+    psig = np.full(n_obs, 1.5, np.float32)
+
+    want = gridpp.optimal_interpolation_ensi(
+        grid, sm, pts, pobs, psig, pback, structure, 5)
+    pipe = gridpp.EnsiPipeline(grid, pts, structure, halfwidth=2,
+                               statistic=gridpp.Mean, max_points=5,
+                               candidates=n_obs)
+    got = pipe(background, pobs, psig)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
