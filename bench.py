@@ -89,16 +89,26 @@ def main():
     dt_ensi = (time.time() - t0) / cycles
     assert np.isfinite(np.asarray(outs_e[0])).all()
 
-    value = n * n / dt
     baseline = 12_490.0  # reference combined gridpoints/s (see docstring)
+    value_general = n * n / dt_general
+    value_fast = n * n / dt
+    value_ensi = n * n / dt_ensi
+    # Headline = the GENERAL serving path (full tiled re-solve per cycle,
+    # no static-network assumption); the static-ratios fast path and the
+    # ensemble (EnSI) path are reported alongside with their own ratios.
     print(json.dumps({
         "metric": "oi2000sq_plus_neighbourhood_gridpoints_per_s",
-        "value": round(value, 1),
+        "value": round(value_general, 1),
         "unit": "gridpoints/s",
-        "vs_baseline": round(value / baseline, 2),
-        "path_fast_static_ratios_pts_per_s": round(n * n / dt, 1),
-        "path_general_dynamic_pts_per_s": round(n * n / dt_general, 1),
-        "ensi_10member_pts_per_s": round(n * n / dt_ensi, 1),
+        "vs_baseline": round(value_general / baseline, 2),
+        "path_fast_static_ratios_pts_per_s": round(value_fast, 1),
+        "path_fast_static_ratios_vs_baseline": round(value_fast / baseline,
+                                                     2),
+        "path_general_dynamic_pts_per_s": round(value_general, 1),
+        "path_general_dynamic_vs_baseline": round(value_general / baseline,
+                                                  2),
+        "ensi_10member_pts_per_s": round(value_ensi, 1),
+        "ensi_10member_vs_baseline": round(value_ensi / baseline, 2),
     }))
 
 

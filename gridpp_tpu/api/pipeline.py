@@ -353,9 +353,13 @@ class EnsiPipeline:
             e = background.shape[-1]
             smoothed = background
             if halfwidth > 0:
-                smoothed = jax.vmap(
-                    lambda f: nops.neighbourhood(f, halfwidth, statistic),
-                    in_axes=2, out_axes=2)(background)
+                # unrolled member loop (not vmap): keeps each member a
+                # plain 2-D call so the fused Pallas stencil dispatch in
+                # ops.neighbourhood applies on TPU
+                smoothed = jnp.stack(
+                    [nops.neighbourhood(background[:, :, k], halfwidth,
+                                        statistic)
+                     for k in range(background.shape[2])], axis=2)
             flat = smoothed.reshape(n, e)
             pback = jnp.take(flat, obs_nn, axis=0)  # (P, E)
             fin = jnp.isfinite(pback)

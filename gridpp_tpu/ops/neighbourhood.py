@@ -90,6 +90,21 @@ def neighbourhood(input: jax.Array, halfwidth: int, statistic: int):
     """
     statistic = int(statistic)
     h = int(halfwidth)
+    if input.ndim == 2 and h > 0:
+        # Fused Pallas kernels on TPU (single HBM read + write; the
+        # XLA reduce_window path below runs the separable passes as
+        # HBM-level sweeps). 2-D only: batched/vmapped callers (the
+        # quantile_fast threshold stack, EnsiPipeline's member vmap)
+        # keep the XLA stencil.
+        from . import pallas_stencil
+        if pallas_stencil.available():
+            if statistic in (Statistic.Mean, Statistic.Sum,
+                             Statistic.Count):
+                return pallas_stencil.neighbourhood_mean(input, h,
+                                                         statistic)
+            if statistic in (Statistic.Min, Statistic.Max):
+                return pallas_stencil.neighbourhood_minmax(input, h,
+                                                           statistic)
     if statistic in (Statistic.Mean, Statistic.Sum, Statistic.Count):
         s = window_sum(input, h)
         c = window_count(input, h)
@@ -242,6 +257,14 @@ def neighbourhood_quantile_fast(input: jax.Array, quantile, halfwidth: int,
     interpolation across thresholds.
     """
     ens = input.ndim == 3
+    q_nd = jnp.ndim(quantile)
+    if not ens and q_nd == 0:
+        # Fused Pallas kernel on TPU: the T CDF planes never leave VMEM
+        # (one read of x, one write of the quantile field)
+        from . import pallas_stencil
+        if pallas_stencil.available():
+            return pallas_stencil.neighbourhood_quantile_fast(
+                input, quantile, int(halfwidth), thresholds)
     t = thresholds.shape[0]
     valid = jnp.isfinite(input)
     # (T, Y, X[, E]) indicator fractions per cell

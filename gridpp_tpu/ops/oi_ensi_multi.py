@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .oi_ensi import _inv_sqrt_ns, _mv
+
 __all__ = ["make_ebe_kernel", "make_ebesc_kernel", "make_utem_kernel"]
 
 DEFAULT_MIN_STD = 0.0013
@@ -170,21 +172,20 @@ def make_utem_kernel(structure, max_points: int, allow_extrapolation: bool):
         pinv = jnp.einsum("bes,bsf->bef", c, l_yc,
                           preferred_element_type=jnp.float32) \
             + jnp.eye(e, dtype=jnp.float32)
-        # Single eigh of the SPD Pinv gives P, W=sqrt((E-1)P) and the
-        # conditioning guard (reference oi_ensi_multi.cpp:1106-1121:
-        # rcond <= 0 -> keep raw background and count a warning)
-        eigval, eigvec = jnp.linalg.eigh(pinv)
-        cond_ok = jnp.isfinite(eigval[:, 0]) & jnp.isfinite(eigval[:, -1]) \
-            & (eigval[:, 0] > 0)
-        lam_safe = jnp.where(eigval > 0, eigval, 1.0)
-        p = jnp.einsum("bij,bj,bkj->bik", eigvec, 1.0 / lam_safe, eigvec,
-                       preferred_element_type=jnp.float32)
-        sq = jnp.sqrt((e - 1) / lam_safe)
-        w_mat = jnp.einsum("bij,bj,bkj->bik", eigvec, sq, eigvec,
-                           preferred_element_type=jnp.float32)
+        # Coupled Newton-Schulz inverse sqrt (ops/oi_ensi._inv_sqrt_ns)
+        # instead of batched eigh: gives W = sqrt((E-1) Pinv^{-1}) and
+        # P C innov. Pinv here is SPD with lambda_min >= 1 by
+        # construction, so the reference's `rcond <= 0` guard
+        # (oi_ensi_multi.cpp:1106-1121: keep raw background + count a
+        # warning) can only trigger on non-finite input; mirror it with
+        # a finiteness check.
+        z, c_norm = _inv_sqrt_ns(pinv)  # z: (E, E, B) batch-minor
+        cond_ok = jnp.all(jnp.isfinite(pinv), axis=(1, 2)) \
+            & jnp.all(jnp.isfinite(z), axis=(0, 1))
         innov = jnp.where(sel_valid, l_obs - l_yhat, 0.0)
-        w_vec = jnp.einsum("bef,bfs,bs->be", p, c, innov,
-                           preferred_element_type=jnp.float32)
+        cv = jnp.einsum("bes,bs->be", c, innov,
+                        preferred_element_type=jnp.float32)
+        w_vec = _mv(z, _mv(z, cv)) / c_norm[:, None]
 
         ens_mean = jnp.mean(background, axis=1)
         x = background - ens_mean[:, None]
@@ -197,11 +198,13 @@ def make_utem_kernel(structure, max_points: int, allow_extrapolation: bool):
                                          - mean_corr[:, None])
                            / jnp.where(std_corr[:, None] == 0, 1,
                                        std_corr[:, None]))
-        # W(e,e2) = ensStd * W + bratios * w(e)  (oi_ensi_multi.cpp:1199-1204)
-        w_full = ens_std[:, None, None] * w_mat \
-            + (bratios[:, None] * w_vec)[:, :, None]
-        increment = jnp.einsum("bk,bke->be", x_corr, w_full,
-                               preferred_element_type=jnp.float32)
+        # increment_e = sum_k x_corr_k (ensStd W + bratios w 1^T)(k,e)
+        # (oi_ensi_multi.cpp:1199-1204) with W = sqrt((E-1)/c) z
+        # symmetric - computed as matvecs, W never materialized.
+        increment = ens_std[:, None] \
+            * jnp.sqrt((e - 1) / c_norm)[:, None] * _mv(z, x_corr) \
+            + bratios[:, None] * jnp.sum(x_corr * w_vec, axis=1,
+                                         keepdims=True)
 
         if not allow_extrapolation:
             s = l_y.shape[1]

@@ -1,19 +1,38 @@
-"""Pallas TPU kernel for the neighbourhood mean/sum/count stencil.
+"""Pallas TPU kernels for neighbourhood (moving-window) statistics.
 
-XLA's separable `reduce_window` materializes the intermediate pass and
-runs the window adds as HBM-level passes (~1.7 ms for 2048^2 h=7, ~19
-GB/s effective). This kernel streams row blocks HBM->VMEM once, does
-both separable passes (values AND valid-count, so NaN-skip semantics
-match ops/neighbourhood.py exactly) entirely in VMEM, and writes the
-result once: HBM traffic is the theoretical minimum read+write.
+XLA's separable `reduce_window` materializes intermediates and runs the
+window combines as HBM-level passes; these kernels stream row blocks
+HBM->VMEM once, do both separable passes (values AND valid-count, so
+NaN-skip semantics match ops/neighbourhood.py exactly) entirely in VMEM,
+finalize the statistic in-register and write the result once: HBM
+traffic is read(x) + write(out) plus one NaN-halo pad of the input.
+
+Window reductions use dilated doubling (log-depth shift-combine) so
+only ~log2(2h+1) value temps are live at once: Mosaic keeps every live
+value temp on the kernel's VMEM stack, and a linear (2h+1)-slice chain
+at h=7 overflows the 16 MB scoped limit. T-long accumulation chains
+route through VMEM scratch refs for the same reason.
+
+Kernels:
+- neighbourhood_mean: Mean / Sum / Count (separable window sums).
+- neighbourhood_minmax: Min / Max via dilated doubling (log2(2h+1)
+  shift-combine steps per axis instead of the reference's row-sliver
+  decomposition, neighbourhood.cpp:146-210).
+- neighbourhood_quantile_fast: the full threshold-CDF windowed quantile
+  (neighbourhood.cpp:296-527) in ONE kernel: per-threshold indicator
+  window-means share a single count pass, the T CDF planes stay in VMEM,
+  and the per-cell piecewise-linear inverse CDF (interpolate's
+  flat-interval rules, util.cpp:377-432) happens in-register. One read
+  of x, one write of the quantile field.
 
 The input is NaN-padded by `h` on all sides before the call, so edge
 blocks need no clamping: out-of-domain cells carry zero weight in the
 count, reproducing the reference's clipped-window semantics
 (neighbourhood.cpp:45-144).
 
-TPU-only (used by Pipeline when it runs on an accelerator); every other
-path keeps the XLA stencil. Falls back cleanly: `available()` gates use.
+TPU-only (used by Pipeline and the neighbourhood ops when running on an
+accelerator); every other path keeps the XLA stencil. Falls back
+cleanly: `available()` gates use; interpret=True runs anywhere.
 """
 from __future__ import annotations
 
@@ -25,7 +44,8 @@ import numpy as np
 
 from ..constants import Statistic
 
-__all__ = ["available", "neighbourhood_mean"]
+__all__ = ["available", "neighbourhood_mean", "neighbourhood_minmax",
+           "neighbourhood_quantile_fast"]
 
 _BY = 128  # output rows per program (bounds the VMEM working set)
 
@@ -39,15 +59,108 @@ def available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _kernel(x_hbm, outv_ref, outc_ref, scratch, accv, accc, sem, *, h, by,
-            rows, xpad, outw, stat):
+def _pad_halo(x, h, by, rows, xpad):
+    """NaN-halo + block/lane/sublane padding of a (Y, X) field."""
+    ny = x.shape[0]
+    nyb = -(-ny // by)
+    xp = jnp.full((nyb * by + (rows - by), xpad), jnp.nan, jnp.float32)
+    return jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32), (h, h)), \
+        nyb
+
+
+def _shapes(ny, nx, h, by=_BY):
+    by = min(by, max(8, ny))
+    outw = -(-nx // 128) * 128
+    xpad = -(-(outw + 2 * h) // 128) * 128
+    rows = -(-(by + 2 * h) // 8) * 8  # 8-sublane-aligned DMA slice
+    return by, outw, xpad, rows
+
+
+def _crop(a, n, axis):
+    return a[0:n, :] if axis == 0 else a[:, 0:n]
+
+
+def _shift(a, d, n, axis):
+    return a[d:d + n, :] if axis == 0 else a[:, d:d + n]
+
+
+def _slide_sum(v, length, axis, out_len):
+    """Sliding `length`-window sum along `axis` via dilated doubling.
+
+    out[i] = sum_{k<length} v[i+k], computed in ~2*log2(length) adds
+    (span-doubling partial sums combined along the binary decomposition
+    of `length`) instead of length-1 — log depth keeps only ~log2 value
+    temps live, which is what the Mosaic VMEM stack can hold (a linear
+    (2h+1)-term chain at h=7 overflows the 16 MB scoped limit).
+    """
+    arrs = {1: v}
+    span = 1
+    cur = v
+    while span * 2 <= length:
+        n = cur.shape[axis] - span
+        cur = _crop(cur, n, axis) + _shift(cur, span, n, axis)
+        span *= 2
+        arrs[span] = cur
+    out = None
+    off = 0
+    for s in sorted((k for k in arrs if length & k), reverse=True):
+        a = _shift(arrs[s], off, out_len, axis)
+        out = a if out is None else out + a
+        off += s
+    return out
+
+
+def _slide_ext(v, length, axis, out_len, op):
+    """Sliding `length`-window min/max via dilated doubling + overlap.
+
+    window(L) = combine of two power-of-two spans overlapping to cover
+    L (idempotent ops tolerate the overlap, unlike sums).
+    """
+    span = 1
+    cur = v
+    while span * 2 <= length:
+        n = cur.shape[axis] - span
+        cur = op(_crop(cur, n, axis), _shift(cur, span, n, axis))
+        span *= 2
+    if span < length:
+        d = length - span
+        n = cur.shape[axis] - d
+        cur = op(_crop(cur, n, axis), _shift(cur, d, n, axis))
+    return _crop(cur, out_len, axis)
+
+
+def _mean_kernel(x_hbm, out_ref, scratch, sem, *, h, by, rows, xpad,
+                 outw, stat):
     from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
-    # `rows` = by + 2h rounded up to the 8-sublane tiling (Mosaic
-    # requires 8-aligned DMA slice shapes); the extra rows are NaN
-    # padding in the source and are never read by the window slices.
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * by, rows), :], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    length = 2 * h + 1
+    vals = scratch[:]
+    m = jnp.isfinite(vals)
+    s = _slide_sum(_slide_sum(jnp.where(m, vals, 0.0), length, 0, by),
+                   length, 1, outw)
+    c = _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0, by),
+                   length, 1, outw)
+    if stat == int(Statistic.Count):
+        out_ref[:] = c
+    elif stat == int(Statistic.Sum):
+        out_ref[:] = jnp.where(c > 0, s, jnp.nan)
+    else:
+        out_ref[:] = jnp.where(c > 0, s / jnp.maximum(c, 1.0), jnp.nan)
+
+
+def _minmax_kernel(x_hbm, out_ref, scratch, sem, *, h, by, rows,
+                   xpad, outw, stat):
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
     dma = pltpu.make_async_copy(
         x_hbm.at[pl.ds(i * by, rows), :], scratch, sem)
     dma.start()
@@ -55,28 +168,14 @@ def _kernel(x_hbm, outv_ref, outc_ref, scratch, accv, accc, sem, *, h, by,
 
     vals = scratch[:]
     m = jnp.isfinite(vals)
-    v0 = jnp.where(m, vals, 0.0)
-    c0 = m.astype(jnp.float32)
-
-    # y pass: (rows, xpad) -> (by, xpad). Accumulate through VMEM refs:
-    # value-level tree sums would keep every slice temp live on the
-    # Mosaic stack (>16 MB VMEM at h=7).
-    accv[:] = v0[0:by, :]
-    accc[:] = c0[0:by, :]
-    for k in range(1, 2 * h + 1):
-        accv[:] = accv[:] + v0[k:k + by, :]
-        accc[:] = accc[:] + c0[k:k + by, :]
-
-    # x pass: (by, xpad) -> (by, outw), accumulated straight into the
-    # two output refs (sum, count); the Mean/Sum/Count finalization is a
-    # trivially-fused XLA elementwise outside the kernel
-    sv = accv[:]
-    sc = accc[:]
-    outv_ref[:] = sv[:, 0:outw]
-    outc_ref[:] = sc[:, 0:outw]
-    for k in range(1, 2 * h + 1):
-        outv_ref[:] = outv_ref[:] + sv[:, k:k + outw]
-        outc_ref[:] = outc_ref[:] + sc[:, k:k + outw]
+    if stat == int(Statistic.Min):
+        ident, op = jnp.inf, jnp.minimum
+    else:
+        ident, op = -jnp.inf, jnp.maximum
+    length = 2 * h + 1
+    ext = _slide_ext(_slide_ext(jnp.where(m, vals, ident), length, 0, by,
+                                op), length, 1, outw, op)
+    out_ref[:] = jnp.where(jnp.isfinite(ext), ext, jnp.nan)
 
 
 @functools.partial(jax.jit,
@@ -92,43 +191,191 @@ def neighbourhood_mean(x: jax.Array, halfwidth: int,
     from jax.experimental.pallas import tpu as pltpu
 
     h = int(halfwidth)
+    stat = int(statistic)
     if h == 0:
         m = jnp.isfinite(x)
-        if int(statistic) == int(Statistic.Count):
+        if stat == int(Statistic.Count):
             return m.astype(jnp.float32)
         return jnp.where(m, x, jnp.nan)
     ny, nx = x.shape
-    by = min(_BY, max(8, ny))
-    nyb = -(-ny // by)
-    outw = -(-nx // 128) * 128
-    xpad = -(-(outw + 2 * h) // 128) * 128
-    rows = -(-(by + 2 * h) // 8) * 8  # 8-sublane-aligned DMA slice
-    # NaN border: h rows/cols of halo + block/lane/sublane padding
-    xp = jnp.full((nyb * by + (rows - by), xpad), jnp.nan, jnp.float32)
-    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32), (h, h))
-
-    kernel = functools.partial(_kernel, h=h, by=by, rows=rows, xpad=xpad,
-                               outw=outw, stat=int(statistic))
-    ospec = pl.BlockSpec((by, outw), lambda i: (i, 0))
-    oshape = jax.ShapeDtypeStruct((nyb * by, outw), jnp.float32)
-    s, c = pl.pallas_call(
+    by, outw, xpad, rows = _shapes(ny, nx, h)
+    xp, nyb = _pad_halo(x, h, by, rows, xpad)
+    kernel = functools.partial(_mean_kernel, h=h, by=by, rows=rows,
+                               xpad=xpad, outw=outw, stat=stat)
+    out = pl.pallas_call(
         kernel,
         grid=(nyb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(ospec, ospec),
-        out_shape=(oshape, oshape),
+        out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((rows, xpad), jnp.float32),
-            pltpu.VMEM((by, xpad), jnp.float32),
-            pltpu.VMEM((by, xpad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp)
-    s = s[:ny, :nx]
-    c = c[:ny, :nx]
-    if int(statistic) == int(Statistic.Count):
-        return c
-    if int(statistic) == int(Statistic.Sum):
-        return jnp.where(c > 0, s, jnp.nan)
-    return jnp.where(c > 0, s / jnp.maximum(c, 1.0), jnp.nan)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("halfwidth", "statistic", "interpret"))
+def neighbourhood_minmax(x: jax.Array, halfwidth: int, statistic: int,
+                         interpret: bool = False) -> jax.Array:
+    """(Y, X) NaN-skipping windowed Min/Max via dilated-doubling kernel."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h = int(halfwidth)
+    stat = int(statistic)
+    if h == 0:
+        m = jnp.isfinite(x)
+        return jnp.where(m, x, jnp.nan)
+    ny, nx = x.shape
+    by, outw, xpad, rows = _shapes(ny, nx, h)
+    xp, nyb = _pad_halo(x, h, by, rows, xpad)
+    kernel = functools.partial(_minmax_kernel, h=h, by=by, rows=rows,
+                               xpad=xpad, outw=outw, stat=stat)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nyb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, xpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp)
+    return out
+
+
+def _qf_kernel(thr_smem, q_smem, x_hbm, out_ref, scratch, cnt, lr, xy,
+               cdf, sem, *, h, by, rows, xpad, outw, t):
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+
+    q = q_smem[0]
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * by, rows), :], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    length = 2 * h + 1
+    vals = scratch[:]
+    m = jnp.isfinite(vals)
+    c = _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0, by),
+                   length, 1, outw)
+    cnt[:] = c
+    cden = jnp.maximum(c, 1.0)
+
+    # Per-threshold CDF plane: window-mean of the <=threshold indicator
+    # (neighbourhood.cpp:339-358), sharing the single count pass above.
+    # s / max(c, 1) exactly as the XLA mean stencil: the indicator sums
+    # are small integers (exact in f32 in any order), so the division is
+    # the only rounding and the CDF matches the XLA path bit-for-bit -
+    # required because the inverse-CDF branches on cdf-vs-q comparisons.
+    for k in range(t):
+        thr = thr_smem[k]
+        s = _slide_sum(_slide_sum(jnp.where(m & (vals <= thr), 1.0, 0.0),
+                                  length, 0, by), length, 1, outw)
+        cdf[k] = jnp.clip(s / cden, 0.0, 1.0)
+
+    # Piecewise-linear inverse CDF across the T planes, in-register
+    # (neighbourhood.cpp:367-404 + util.cpp:377-432 flat-interval rules).
+    # The per-threshold accumulators go through scratch refs (lr, xy):
+    # T-long value chains would pile up on the Mosaic VMEM stack.
+    zero = jnp.zeros((by, outw), jnp.float32)
+    lr[0] = zero
+    lr[1] = zero
+    for k in range(t):
+        lr[0] = lr[0] + (cdf[k] < q).astype(jnp.float32)
+        lr[1] = lr[1] + (cdf[k] <= q).astype(jnp.float32)
+    left = lr[0]
+    right = lr[1]
+    has_exact = right > left
+    i0 = jnp.where(has_exact, left, left - 1.0)
+    i1 = jnp.where(has_exact, right - 1.0, right)
+    i0c = jnp.clip(i0, 0.0, t - 1.0)
+    i1c = jnp.clip(i1, 0.0, t - 1.0)
+    xy[0] = zero
+    xy[1] = zero
+    xy[2] = zero
+    xy[3] = zero
+    for k in range(t):
+        k_f = float(k)
+        thr = thr_smem[k]
+        sel0 = i0c == k_f
+        sel1 = i1c == k_f
+        xy[0] = jnp.where(sel0, cdf[k], xy[0])
+        xy[1] = jnp.where(sel1, cdf[k], xy[1])
+        xy[2] = jnp.where(sel0, thr, xy[2])
+        xy[3] = jnp.where(sel1, thr, xy[3])
+    x0 = xy[0]
+    x1 = xy[1]
+    y0 = xy[2]
+    y1 = xy[3]
+    flat = x0 == x1
+    both_edge = (i0 == 0.0) & (i1 == t - 1.0)
+    y_flat = jnp.where(both_edge, (y0 + y1) * 0.5,
+                       jnp.where(i0 == 0.0, y1,
+                                 jnp.where(i1 == t - 1.0, y0,
+                                           (y0 + y1) * 0.5)))
+    dx = jnp.where(flat, 1.0, x1 - x0)
+    y_lin = y0 + (y1 - y0) * (q - x0) / dx
+    y = jnp.where(flat, y_flat, y_lin)
+    y = jnp.where(q > cdf[t - 1], thr_smem[t - 1], y)
+    y = jnp.where(q < cdf[0], thr_smem[0], y)
+    # Exact-edge special cases (neighbourhood.cpp:396-401)
+    y = jnp.where((q == 1.0) & (cdf[0] == 1.0), thr_smem[0], y)
+    y = jnp.where((q == 0.0) & (cdf[t - 1] == 0.0), thr_smem[t - 1], y)
+    out_ref[:] = jnp.where(cnt[:] > 0, y, jnp.nan)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("halfwidth", "interpret"))
+def neighbourhood_quantile_fast(x: jax.Array, quantile,
+                                halfwidth: int, thresholds: jax.Array,
+                                interpret: bool = False) -> jax.Array:
+    """Fused threshold-CDF windowed quantile: one read, one write.
+
+    x: (Y, X); quantile: scalar; thresholds: (T,). The host/XLA path
+    (ops/neighbourhood.neighbourhood_quantile_fast) materializes T
+    smoothed CDF fields; here they never leave VMEM. The T-threshold
+    loop and the inverse-CDF interpolation are unrolled in-kernel
+    (T is small: get_neighbourhood_thresholds defaults to ~11-20).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h = int(halfwidth)
+    t = int(thresholds.shape[0])
+    ny, nx = x.shape
+    # the T CDF planes live in VMEM (plus Mosaic's value stack for the
+    # unrolled T loop): keep the row block small
+    by = 16 if t > 24 else 32
+    by, outw, xpad, rows = _shapes(ny, nx, h, by=by)
+    xp, nyb = _pad_halo(x, h, by, rows, xpad)
+    kernel = functools.partial(_qf_kernel, h=h, by=by, rows=rows,
+                               xpad=xpad, outw=outw, t=t)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nyb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, xpad), jnp.float32),
+            pltpu.VMEM((by, outw), jnp.float32),
+            pltpu.VMEM((2, by, outw), jnp.float32),
+            pltpu.VMEM((4, by, outw), jnp.float32),
+            pltpu.VMEM((t, by, outw), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(jnp.asarray(thresholds, jnp.float32),
+      jnp.asarray(quantile, jnp.float32).reshape(1), xp)
+    return out

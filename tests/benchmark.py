@@ -205,8 +205,12 @@ def main():
     print("gridpp_tpu benchmark (version %s) on %s" %
           (gridpp.version(), jax.devices()[0].platform))
     print("Reference expected times: Intel i7 3.40 GHz, 1 OMP thread")
+    print("Execution model: numpy-in/numpy-out API; most per-op rows run")
+    print("on XLA:CPU + threaded C++ host kernels (device round-trips are")
+    print("not worth one call; see BENCH_OPS.md). Device-resident serving")
+    print("perf is measured by bench.py, not this table.")
     print("-" * 78)
-    print("%-44s %9s %9s %9s" % ("Function", "Ref(s)", "TPU(s)",
+    print("%-44s %9s %9s %9s" % ("Function", "Ref(s)", "measured(s)",
                                  "Speedup"))
 
     results = []

@@ -94,7 +94,7 @@ class TestTwoHostFederation:
             [sys.executable, os.path.join(ROOT, "tools",
                                           "scaling_multihost.py"),
              "--hosts", "2", "--n", "128", "--obs", "400",
-             "--port", "53141"],
+             "--port", "53141", "--out", str(tmp_path / "scaling.json")],
             capture_output=True, text=True, timeout=420, cwd=ROOT,
             env=env)
         assert proc.returncode == 0, proc.stderr[-2000:]

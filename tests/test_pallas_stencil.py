@@ -29,6 +29,45 @@ def test_matches_xla_stencil(stat, shape, h):
     out = np.asarray(ps.neighbourhood_mean(jnp.asarray(x), h, int(stat),
                                            interpret=True))
     ref = np.asarray(nops.neighbourhood(jnp.asarray(x), h, int(stat)))
+    # atol: the kernel's dilated-tree summation order differs from
+    # reduce_window's; both are exact local sums, rounding differs
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("stat", [Statistic.Min, Statistic.Max])
+@pytest.mark.parametrize("shape,h", [((40, 60), 3), ((17, 250), 7),
+                                     ((300, 129), 1), ((31, 31), 0),
+                                     ((64, 64), 5)])
+def test_minmax_matches_xla_stencil(stat, shape, h):
+    x = _field(shape, seed=int(stat) + h)
+    out = np.asarray(ps.neighbourhood_minmax(jnp.asarray(x), h, int(stat),
+                                             interpret=True))
+    ref = np.asarray(nops.neighbourhood(jnp.asarray(x), h, int(stat)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
+@pytest.mark.parametrize("shape,h,t", [((40, 60), 3, 11), ((17, 140), 7, 5),
+                                       ((33, 33), 2, 20), ((24, 24), 0, 7)])
+def test_quantile_fast_matches_xla(q, shape, h, t):
+    x = _field(shape, seed=h + t)
+    thresholds = np.quantile(x[np.isfinite(x)],
+                             np.linspace(0, 1, t)).astype(np.float32)
+    out = np.asarray(ps.neighbourhood_quantile_fast(
+        jnp.asarray(x), q, h, jnp.asarray(thresholds), interpret=True))
+    ref = np.asarray(nops.neighbourhood_quantile_fast(
+        jnp.asarray(x), q, h, jnp.asarray(thresholds)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quantile_fast_all_nan_region():
+    x = _field((40, 50), seed=3)
+    x[10:20, 10:30] = np.nan
+    thresholds = np.linspace(-30, 30, 9).astype(np.float32)
+    out = np.asarray(ps.neighbourhood_quantile_fast(
+        jnp.asarray(x), 0.5, 2, jnp.asarray(thresholds), interpret=True))
+    ref = np.asarray(nops.neighbourhood_quantile_fast(
+        jnp.asarray(x), 0.5, 2, jnp.asarray(thresholds)))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 

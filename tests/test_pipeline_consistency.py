@@ -101,6 +101,103 @@ def test_missing_background_cells():
     np.testing.assert_allclose(out, plain, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("dropout", [0.5, 0.7, 0.9])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_shortlist_boundary_heavy_dropout(seed, dropout):
+    """The documented approximation boundary (api/pipeline.py docstring):
+    the serving path matches the plain API exactly whenever at least
+    max_points shortlisted candidates carry valid obs. With a FULL
+    shortlist (candidates = n_obs) that holds at any dropout level; with
+    a capped shortlist heavy dropout may push true top-rho candidates
+    past the cut, and the divergence must be graceful (finite, tiled ==
+    flat, biased toward the background, never wild)."""
+    grid, pts, background, pback, pobs, ratios, structure = _problem(
+        seed, nan_obs=dropout)
+    max_points = 8
+    n_obs = pts.size()
+
+    plain = gridpp.optimal_interpolation(grid, background, pts, pobs,
+                                         ratios, pback, structure,
+                                         max_points)
+
+    # Full shortlist: exact at ANY dropout level.
+    full = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                           max_points=max_points, tiled=True,
+                           candidates=n_obs)
+    np.testing.assert_allclose(full(background, pobs, ratios), plain,
+                               rtol=1e-4, atol=1e-3)
+
+    # Capped shortlist under heavy dropout: documented graceful
+    # divergence. tiled and flat must still agree with each other.
+    tiled_c = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                              max_points=max_points, tiled=True,
+                              candidates=2 * max_points)
+    flat_c = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                             max_points=max_points, tiled=False,
+                             candidates=2 * max_points)
+    out_tc = tiled_c(background, pobs, ratios)
+    out_fc = flat_c(background, pobs, ratios)
+    np.testing.assert_allclose(out_tc, out_fc, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(out_tc).all()
+    # Graceful: where the shortlist loses candidates the increment can
+    # only shrink toward the background, so the serving-path increment
+    # magnitude is bounded by the plain increment envelope.
+    inc_plain = np.abs(plain - background).max()
+    inc_serve = np.abs(out_tc - background).max()
+    assert inc_serve <= inc_plain * 1.5 + 1e-3
+
+
+def test_shortlist_boundary_clustered_dropout():
+    """Clustered dropout (a whole sub-region loses its obs): gridpoints
+    near the dead cluster fall below max_points valid candidates; the
+    result must stay finite and match plain where the network is
+    intact."""
+    seed = 5
+    grid, pts, background, pback, pobs, ratios, structure = _problem(
+        seed, nan_obs=0.0)
+    max_points = 8
+    pobs = pobs.copy()
+    # kill every obs in the northern half
+    dead = np.asarray(pts.lats) > 56.5
+    pobs[dead] = np.nan
+    assert dead.sum() > 10
+
+    plain = gridpp.optimal_interpolation(grid, background, pts, pobs,
+                                         ratios, pback, structure,
+                                         max_points)
+    pipe = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                           max_points=max_points, tiled=True,
+                           candidates=2 * max_points)
+    out = pipe(background, pobs, ratios)
+    assert np.isfinite(out).all()
+    # far southern rows see only live obs -> shortlist boundary not hit
+    np.testing.assert_allclose(out[:8], plain[:8], rtol=1e-4, atol=1e-3)
+    # northern rows (dead cluster) must return the background like plain
+    np.testing.assert_allclose(out[-3:], plain[-3:], rtol=1e-4, atol=1e-3)
+
+
+def test_shortlist_candidates_equals_max_points():
+    """candidates == max_points edge: zero slack. With all obs valid the
+    shortlist IS the top-k, so the result is exact; with dropout it
+    degrades gracefully."""
+    grid, pts, background, pback, pobs, ratios, structure = _problem(
+        9, nan_obs=0.0)
+    max_points = 8
+    plain = gridpp.optimal_interpolation(grid, background, pts, pobs,
+                                         ratios, pback, structure,
+                                         max_points)
+    pipe = gridpp.Pipeline(grid, pts, structure, halfwidth=0,
+                           max_points=max_points, tiled=True,
+                           candidates=max_points)
+    out = pipe(background, pobs, ratios)
+    np.testing.assert_allclose(out, plain, rtol=1e-4, atol=1e-3)
+
+    pobs2 = pobs.copy()
+    pobs2[::3] = np.nan
+    out2 = pipe(background, pobs2, ratios)
+    assert np.isfinite(out2).all()
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_ensi_pipeline_vs_plain(seed):
     """EnsiPipeline (device serving path) vs optimal_interpolation_ensi

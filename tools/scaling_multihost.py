@@ -146,6 +146,11 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--obs", type=int, default=2000)
     ap.add_argument("--port", type=int, default=52525)
+    ap.add_argument("--out", default=os.path.join(ROOT,
+                                                  "MULTIHOST_SCALING.json"),
+                    help="report path (default: repo-root artifact; pass "
+                         "a scratch path to avoid clobbering the "
+                         "committed measurement)")
     args = ap.parse_args()
     if args.worker:
         worker()
@@ -168,7 +173,7 @@ def main():
         "efficiency": round(efficiency, 3),
         "parity_ok": bool(parity),
     }
-    with open(os.path.join(ROOT, "MULTIHOST_SCALING.json"), "w") as f:
+    with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
 
