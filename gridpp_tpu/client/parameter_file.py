@@ -45,7 +45,10 @@ class ParameterFileText:
                             "Partial spatial definitions found")
                     self.spatial = spatial_cols == 3
                     continue
-                values = [float(v) for v in line.split()]
+                # the client's missing-value sentinel is -999
+                # (reference src/client/Util.h MV); map to NaN
+                values = [np.nan if float(v) == -999 else float(v)
+                          for v in line.split()]
                 records.append(values)
         skip = {p for p in (self._time_pos, self._lat_pos, self._lon_pos,
                             self._elev_pos) if p is not None}

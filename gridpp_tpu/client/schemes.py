@@ -203,10 +203,16 @@ class CalibratorAccumulate(Calibrator):
 
 
 class CalibratorDeaccumulate(Calibrator):
+    """Time-difference over a window (Calibrator/Deaccumulate.cpp:10-49):
+    out[t] = acc[t] - acc[t - window], MV for t < window or when either
+    endpoint is missing."""
+
     def calibrate(self, ofile, parameter_file=None):
+        window = self.options.get("window", 1, int)
         field = ofile.get_field(self.variable)
         out = np.full_like(field, np.nan)
-        out[1:] = field[1:] - field[:-1]
+        if field.shape[0] > window:
+            out[window:] = field[window:] - field[:-window]
         ofile.add_field(self.variable, out.astype(np.float32))
 
 
@@ -252,19 +258,29 @@ class CalibratorQc(Calibrator):
 
 
 class CalibratorThreshold(Calibrator):
-    """Map values below/above thresholds to new values
-    (Calibrator/Threshold.cpp)."""
+    """Map threshold ranges to values (Calibrator/Threshold.cpp:26-58):
+    first p with value < thresholds[p] (or == when equals[p]=1) selects
+    values[p]; otherwise values[n]. len(values) == len(thresholds)+1."""
 
     def calibrate(self, ofile, parameter_file=None):
         thresholds = self.options.get_floats("thresholds")
         values = self.options.get_floats("values")
-        field = ofile.get_field(self.variable).copy()
-        out = np.full_like(field, values[-1] if values else MV)
-        prev = -np.inf
-        for thr, val in zip(thresholds, values):
-            out = np.where((field > prev) & (field <= thr), val, out)
-            prev = thr
-        out = np.where(field > prev, values[-1] if values else MV, out)
+        equals = self.options.get_floats("equals")
+        if not equals:
+            equals = [0.0] * len(thresholds)
+        if len(values) != len(thresholds) + 1:
+            raise RuntimeError("Length of 'values' must be one longer "
+                               "than the length of 'thresholds'")
+        if len(equals) != len(thresholds):
+            raise RuntimeError("Length of 'equals' must be the same as "
+                               "the length of 'thresholds'")
+        field = ofile.get_field(self.variable)
+        out = np.full_like(field, values[len(thresholds)])
+        assigned = np.zeros(field.shape, bool)
+        for thr, val, eq in zip(thresholds, values, equals):
+            hit = (field < thr) | ((field == thr) & (eq == 1))
+            out = np.where(hit & ~assigned, val, out)
+            assigned |= hit
         out = np.where(np.isfinite(field), out, np.nan)
         ofile.add_field(self.variable, out.astype(np.float32))
 
@@ -445,11 +461,14 @@ class CalibratorMask(Calibrator):
         field = ofile.get_field(self.variable)
         radii = params[:, 0] if params.shape[1] else np.full(points.size(),
                                                             10000.0)
+        # keep=1: remove gridpoints OUTSIDE every radius; keep=0: remove
+        # gridpoints INSIDE any radius (Mask.cpp:62-64 remove = keep !=
+        # withinRadius)
         out = field.copy()
         for t in range(field.shape[0]):
             for e in range(field.shape[3]):
                 out[t, :, :, e] = gridpp.fill(ofile.grid, field[t, :, :, e],
-                                              points, radii, MV, not keep)
+                                              points, radii, MV, keep)
         ofile.add_field(self.variable, out)
 
 
@@ -461,6 +480,11 @@ class CalibratorRegression(Calibrator):
         if parameter_file is None:
             return
         params = np.asarray(parameter_file.parameters_at_time(0), np.float64)
+        if params.size == 0:
+            # Regression.cpp errors when the parameter file carries no
+            # coefficients (Testing/CalibratorRegression.cpp invalid)
+            raise RuntimeError("Regression parameter file has no "
+                               "coefficients")
         field = ofile.get_field(self.variable)
         out = np.zeros_like(field, np.float64)
         for i, p in enumerate(params):

@@ -55,6 +55,13 @@ def _as2d(x):
 
 
 class Grid:
+    """2-D curvilinear grid of lat/lon (or y/x) coordinates with optional
+    elevations and land-area fractions (reference src/api/grid.cpp).
+
+    Spatial queries run in chord (straight-line 3-D) distance like the
+    reference KDTree; nearest/bilinear gather maps are precomputed on
+    the host and cached per target object for the device apply step."""
+
     def __init__(self, lats=((),), lons=((),), elevs=(), lafs=(),
                  type=CoordinateType.Geodetic):
         lats = _as2d(lats)

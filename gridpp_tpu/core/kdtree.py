@@ -18,6 +18,11 @@ from .point import Point
 
 
 class KDTree:
+    """Spatial index over ECEF coordinates (reference src/api/kdtree.cpp,
+    a boost R-tree there; scipy cKDTree + exact growing-k fallback here).
+    All radius/nearest semantics are in chord distance
+    (kdtree.cpp:192-194)."""
+
     def __init__(self, lats=(), lons=(), type=CoordinateType.Geodetic):
         lats = np.atleast_1d(np.asarray(lats, dtype=np.float64))
         lons = np.atleast_1d(np.asarray(lons, dtype=np.float64))

@@ -19,6 +19,10 @@ def _as1d(x):
 
 
 class Points:
+    """A set of scattered points with lats/lons/elevs/lafs (reference
+    src/api/points.cpp); missing elevations and land-area fractions are
+    filled with NaN like points.cpp:23-30."""
+
     def __init__(self, lats=(), lons=(), elevs=(), lafs=(),
                  type=CoordinateType.Geodetic):
         lats = _as1d(lats)

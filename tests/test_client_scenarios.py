@@ -263,3 +263,318 @@ class TestCalibratorAccumulateFixture:
         assert after[1, 5, 9, 0] == pytest.approx(6.929162, rel=1e-5)
         assert after[0, 0, 9, 0] == pytest.approx(0)
         assert after[1, 0, 9, 0] == pytest.approx(5.442121, rel=1e-5)
+
+
+class TestCalibratorQcFixture:
+    """Testing/CalibratorQc.cpp:21-79 golden values on 10x10.nc."""
+
+    def _run(self, opts):
+        from gridpp_tpu.client.schemes import CalibratorQc
+        f = FileNetcdf(fx("10x10.nc"))
+        name = "air_temperature_2m"
+        CalibratorQc(name, Options(opts)).calibrate(f)
+        return f.get_field(name)
+
+    def test_min_max(self):
+        after = self._run("min=304 max=305.8")
+        assert after[0, 5, 2, 0] == pytest.approx(304)      # was 301
+        assert after[0, 5, 9, 0] == pytest.approx(304)      # was 304
+        assert after[0, 0, 9, 0] == pytest.approx(305.8)    # was 320
+
+    def test_nomax(self):
+        after = self._run("max=307")
+        assert after[0, 5, 2, 0] == pytest.approx(301)
+        assert after[0, 5, 9, 0] == pytest.approx(304)
+        assert after[0, 0, 9, 0] == pytest.approx(307)
+
+    def test_nomin(self):
+        after = self._run("min=303")
+        assert after[0, 5, 2, 0] == pytest.approx(303)
+        assert after[0, 5, 9, 0] == pytest.approx(304)
+        assert after[0, 0, 9, 0] == pytest.approx(320)
+
+    def test_missing_value(self):
+        from gridpp_tpu.client.schemes import CalibratorQc
+        f = FileNetcdf(fx("10x10.nc"))
+        name = "air_temperature_2m"
+        field = f.get_field(name)
+        field[0, 5, 2, 0] = np.nan
+        field[0, 5, 9, 0] = np.nan
+        field[0, 0, 9, 0] = np.nan
+        f.add_field(name, field)
+        CalibratorQc(name, Options("min=303 max=307")).calibrate(f)
+        after = f.get_field(name)
+        assert np.isnan(after[0, 5, 2, 0])
+        assert np.isnan(after[0, 5, 9, 0])
+        assert np.isnan(after[0, 0, 9, 0])
+
+
+class TestCalibratorQnhFixture:
+    """Testing/CalibratorQnh.cpp golden values."""
+
+    def test_10x10(self):
+        from gridpp_tpu.client.schemes import CalibratorQnh
+        f = FileNetcdf(fx("10x10.nc"))
+        p = f.get_field("surface_air_pressure")
+        assert p[0, 5, 2, 0] == pytest.approx(98334.44, rel=1e-6)
+        CalibratorQnh("qnh", Options()).calibrate(f)
+        qnh = f.get_field("qnh")
+        assert qnh.shape[1:] == (10, 10, 1)
+        # Altitude 159.6324, pressure 98334.44 (CalibratorQnh.cpp:36)
+        assert qnh[0, 5, 2, 0] == pytest.approx(100220.6455, rel=1e-6)
+
+    def test_calc_qnh(self):
+        import gridpp_tpu as gridpp
+        assert gridpp.qnh([100000], [0])[0] == pytest.approx(100000)
+        assert gridpp.qnh([0], [0])[0] == pytest.approx(0)
+        assert gridpp.qnh([99000], [100])[0] == pytest.approx(
+            100184.6424, rel=1e-6)
+        assert gridpp.qnh([99000], [-100])[0] == pytest.approx(
+            97826.7259, rel=1e-6)
+        assert gridpp.qnh([0], [-100])[0] == pytest.approx(0)
+
+
+class TestCalibratorNeighbourhoodFixture:
+    """Testing/CalibratorNeighbourhood.cpp:21-47 golden values."""
+
+    def test_10x10_radius1_then_2(self):
+        from gridpp_tpu.client.schemes import CalibratorNeighbourhood
+        f = FileNetcdf(fx("10x10.nc"))
+        name = "air_temperature_2m"
+        CalibratorNeighbourhood(name, Options("radius=1")).calibrate(f)
+        after = f.get_field(name)
+        assert after.shape[1:] == (10, 10, 1)
+        golden = {(5, 2): 304.6667, (5, 9): 306.1667, (9, 9): 303,
+                  (0, 9): 308.25, (0, 0): 302, (1, 0): 303,
+                  (5, 0): 304.6667, (9, 0): 306.25, (8, 0): 305.5,
+                  (8, 1): 300 + 61.0 / 9}
+        for (y, x), v in golden.items():
+            assert after[0, y, x, 0] == pytest.approx(v, rel=1e-6), (y, x)
+        CalibratorNeighbourhood(name, Options("radius=2")).calibrate(f)
+        after = f.get_field(name)
+        assert after[0, 5, 2, 0] == pytest.approx(304.73114, rel=1e-6)
+        assert after[0, 5, 9, 0] == pytest.approx(305.355, abs=1e-3)
+
+
+class TestCalibratorDeaccumulateFixture:
+    """Testing/CalibratorDeaccumulate.cpp golden values on 1x1.nc."""
+
+    def test_1x1_window3(self):
+        from gridpp_tpu.client.schemes import CalibratorDeaccumulate
+        f = FileNetcdf(fx("1x1.nc"))
+        name = "precipitation_amount_acc"
+        CalibratorDeaccumulate(name, Options("window=3")).calibrate(f)
+        after = f.get_field(name)
+        expected = [np.nan, np.nan, np.nan, 4, 2.5, 6, np.nan, 6.5, 2,
+                    np.nan]
+        for t, v in enumerate(expected):
+            got = after[t, 0, 0, 0]
+            if np.isnan(v):
+                assert np.isnan(got), t
+            else:
+                assert got == pytest.approx(v), t
+
+    def test_1x1_default(self):
+        from gridpp_tpu.client.schemes import CalibratorDeaccumulate
+        f = FileNetcdf(fx("1x1.nc"))
+        name = "air_temperature_2m"
+        CalibratorDeaccumulate(name, Options()).calibrate(f)
+        after = f.get_field(name)
+        expected = [np.nan, -3, -5, 6, -7, 16, -9, -2, np.nan, np.nan]
+        for t, v in enumerate(expected):
+            got = after[t, 0, 0, 0]
+            if np.isnan(v):
+                assert np.isnan(got), t
+            else:
+                assert got == pytest.approx(v), t
+
+
+class TestCalibratorThresholdFixture:
+    """Testing/CalibratorThreshold.cpp golden values on 1x1.nc."""
+
+    def test_1x1(self):
+        from gridpp_tpu.client.schemes import CalibratorThreshold
+        f = FileNetcdf(fx("1x1.nc"))
+        name = "air_temperature_2m"
+        CalibratorThreshold(name, Options(
+            "thresholds=20 values=0,2")).calibrate(f)
+        after = f.get_field(name)
+        expected = [2, 2, 0, 2, 0, 2, 2, 0, np.nan, 2]
+        for t, v in enumerate(expected):
+            got = after[t, 0, 0, 0]
+            if np.isnan(v):
+                assert np.isnan(got), t
+            else:
+                assert got == pytest.approx(v), t
+
+    def test_1x1_equals(self):
+        from gridpp_tpu.client.schemes import CalibratorThreshold
+        f = FileNetcdf(fx("1x1.nc"))
+        name = "precipitation_amount_acc"
+        CalibratorThreshold(name, Options(
+            "thresholds=3,3.5,4 values=-5,11,0,2 equals=0,1,0")).calibrate(f)
+        after = f.get_field(name)
+        assert after[0, 0, 0, 0] == pytest.approx(-5)   # 0
+        assert after[1, 0, 0, 0] == pytest.approx(11)   # 3
+        assert after[2, 0, 0, 0] == pytest.approx(2)    # 4
+        assert after[4, 0, 0, 0] == pytest.approx(2)    # 5.5
+        assert np.isnan(after[6, 0, 0, 0])              # MV
+        assert after[7, 0, 0, 0] == pytest.approx(2)    # 12
+
+    def test_1x1_equals_upper(self):
+        from gridpp_tpu.client.schemes import CalibratorThreshold
+        f = FileNetcdf(fx("1x1.nc"))
+        name = "precipitation_amount_acc"
+        CalibratorThreshold(name, Options(
+            "thresholds=3,3.5,10 values=-5,11,0,2 equals=1,0,1")).calibrate(f)
+        after = f.get_field(name)
+        assert after[1, 0, 0, 0] == pytest.approx(-5)   # 3
+        assert after[5, 0, 0, 0] == pytest.approx(0)    # 10
+        assert after[7, 0, 0, 0] == pytest.approx(2)    # 12
+
+
+class TestCalibratorRegressionFixture:
+    """Testing/CalibratorRegression.cpp golden values on 10x10.nc."""
+
+    def _run(self, parfile):
+        from gridpp_tpu.client.schemes import CalibratorRegression
+        f = FileNetcdf(fx("10x10.nc"))
+        name = "air_temperature_2m"
+        par = ParameterFileText(fx(parfile))
+        CalibratorRegression(name, Options()).calibrate(f, par)
+        return f.get_field(name)
+
+    def test_0order(self):
+        after = self._run("regression0order.txt")
+        for y, x in ((5, 2), (5, 9), (0, 9)):
+            assert after[0, y, x, 0] == pytest.approx(0.3), (y, x)
+
+    def test_1order(self):
+        after = self._run("regression1order.txt")
+        assert after[0, 5, 2, 0] == pytest.approx(361.5)  # 0.3 + 1.2*301
+        assert after[0, 5, 9, 0] == pytest.approx(365.1)
+        assert after[0, 0, 9, 0] == pytest.approx(384.3)
+
+    def test_2order(self):
+        after = self._run("regression2order.txt")
+        # -0.3 + 1.02*301 - 0.8*301^2
+        assert after[0, 5, 2, 0] == pytest.approx(-72174.08, rel=1e-6)
+        assert after[0, 5, 9, 0] == pytest.approx(-73623.02, rel=1e-6)
+        assert after[0, 0, 9, 0] == pytest.approx(-81593.90, rel=1e-6)
+
+    def test_missing_parameters(self):
+        after = self._run("regressionMissing.txt")
+        for y, x in ((5, 2), (5, 9), (0, 9)):
+            assert np.isnan(after[0, y, x, 0]), (y, x)
+
+    def test_invalid_no_coefficients(self):
+        """EXPECT_DEATH in the reference -> raises here
+        (Testing/CalibratorRegression.cpp invalid/invalid2)."""
+        from gridpp_tpu.client.schemes import CalibratorRegression
+        f = FileNetcdf(fx("10x10.nc"))
+        name = "air_temperature_2m"
+        par = ParameterFileText(fx("regressionInvalid1.txt"))
+        with pytest.raises((RuntimeError, ValueError, IndexError)):
+            CalibratorRegression(name, Options()).calibrate(f, par)
+
+
+class TestCalibratorMaskFixture:
+    """Testing/CalibratorMask.cpp golden values: two parameter points
+    (3,5) r=223km and (4,6) r=336km on the 10x10 degree grid."""
+
+    def test_mask_out(self):
+        from gridpp_tpu.client.schemes import CalibratorMask
+        f = FileNetcdf(fx("10x10.nc"))
+        name = "air_temperature_2m"
+        par = ParameterFileText(fx("mask0.txt"))
+        CalibratorMask(name, Options("keep=0")).calibrate(f, par)
+        after = f.get_field(name)
+        assert after[0, 5, 2, 0] == pytest.approx(301)
+        assert np.isnan(after[0, 3, 5, 0])
+        assert np.isnan(after[0, 3, 3, 0])
+        assert np.isnan(after[0, 2, 5, 0])
+        assert np.isnan(after[0, 4, 9, 0])
+        assert after[0, 2, 3, 0] == pytest.approx(302)
+        assert after[0, 6, 9, 0] == pytest.approx(310)
+
+    def test_mask_in(self):
+        from gridpp_tpu.client.schemes import CalibratorMask
+        f = FileNetcdf(fx("10x10.nc"))
+        name = "air_temperature_2m"
+        par = ParameterFileText(fx("mask0.txt"))
+        CalibratorMask(name, Options()).calibrate(f, par)  # keep=1 default
+        after = f.get_field(name)
+        assert np.isnan(after[0, 5, 2, 0])
+        assert after[0, 3, 5, 0] == pytest.approx(302)
+        assert after[0, 3, 3, 0] == pytest.approx(302)
+        assert after[0, 2, 5, 0] == pytest.approx(302)
+        assert after[0, 4, 9, 0] == pytest.approx(302)
+        assert np.isnan(after[0, 2, 3, 0])
+        assert np.isnan(after[0, 6, 9, 0])
+
+
+class TestCalibratorSortFake:
+    """Testing/CalibratorSort.cpp ensemble sorting incl. MV placement."""
+
+    @pytest.mark.parametrize("before,after", [
+        ([3, 1, 2], [1, 2, 3]),
+        ([1, 1, 2], [1, 1, 2]),
+        ([3, 1, 1], [1, 1, 3]),
+        ([3, np.nan, 2], [2, 3, np.nan]),
+        ([2, np.nan, 2], [2, 2, np.nan]),
+        ([np.nan, np.nan, np.nan], [np.nan, np.nan, np.nan]),
+        ([np.nan, 1, np.nan], [1, np.nan, np.nan]),
+    ])
+    def test_simple(self, before, after):
+        from gridpp_tpu.client.file import FileFake
+        from gridpp_tpu.client.schemes import CalibratorSort
+        f = FileFake(1, 1, 1, 3)
+        name = "air_temperature_2m"
+        f.add_field(name, np.asarray(before, np.float32).reshape(1, 1, 1, 3))
+        CalibratorSort(name, Options()).calibrate(f)
+        got = f.get_field(name)[0, 0, 0]
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(after))
+        finite = ~np.isnan(np.asarray(after))
+        np.testing.assert_allclose(got[finite], np.asarray(after)[finite])
+
+
+class TestKDTreeScenarios:
+    """Testing/KDTree.cpp nearest-neighbour scenarios, ported to the
+    library Grid (the client's legacy KDTree is subsumed by it)."""
+
+    def _grid(self, lats, lons):
+        import gridpp_tpu as gridpp
+        return gridpp.Grid(np.asarray(lats, float),
+                           np.asarray(lons, float))
+
+    def test_single(self):
+        g = self._grid([[3.0]], [[2.0]])
+        assert tuple(g.get_nearest_neighbour(3, 2)) == (0, 0)
+        assert tuple(g.get_nearest_neighbour(2, 1)) == (0, 0)
+
+    def test_1row(self):
+        g = self._grid([[3, 2, 0, 2]], [[3, 0, 0, 2]])
+        assert tuple(g.get_nearest_neighbour(3, 3)) == (0, 0)
+        assert tuple(g.get_nearest_neighbour(0.5, 0.9)) == (0, 2)
+        i, j = g.get_nearest_neighbour(2.1, -0.1)
+        assert i == 0 and j in (1, 3)
+
+    def test_matrix(self):
+        lats = [[0, 0, 0, 0], [1, 1, 1, 1]]
+        lons = [[0, 1, 2, 3], [0, 1, 2, 3]]
+        g = self._grid(lats, lons)
+        assert tuple(g.get_nearest_neighbour(0, 0)) == (0, 0)
+        assert tuple(g.get_nearest_neighbour(1.1, 0.6)) == (1, 1)
+        assert tuple(g.get_nearest_neighbour(0.2, 2.4)) == (0, 2)
+        assert tuple(g.get_nearest_neighbour(10, 10)) == (1, 3)
+        assert tuple(g.get_nearest_neighbour(-10, 10)) == (0, 3)
+
+    def test_cross(self):
+        # irregular 1x5 row: reference KDTree.cpp:96-121 (note the
+        # reference's own fixture bug lat[4]/lon[3]; reproduced)
+        lats = [[0, 1, 1, 1, 2]]
+        lons = [[1, 0, 1, 1, 0]]
+        g = self._grid(lats, lons)
+        assert tuple(g.get_nearest_neighbour(0.1, 1)) == (0, 0)
+        assert tuple(g.get_nearest_neighbour(0.6, 1)) == (0, 2)
+        assert tuple(g.get_nearest_neighbour(1, 0.1)) == (0, 1)

@@ -30,8 +30,32 @@ import numpy as np
 
 ITERS = 20
 
+# Chip peaks for the %-of-roofline columns, keyed by substrings of
+# jax.Device.device_kind. (f32 FLOP peak = MXU bf16 peak / 4.)
+_CHIP_PEAKS = {
+    "v5 lite": {"gbytes_s": 819.0, "gflops": 49_200.0},   # v5e
+    "v5e": {"gbytes_s": 819.0, "gflops": 49_200.0},
+    "v4": {"gbytes_s": 1_228.0, "gflops": 68_700.0},
+    "v5p": {"gbytes_s": 2_765.0, "gflops": 114_500.0},
+}
 
-def characterize(name, make_fn, *args):
+
+def chip_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in _CHIP_PEAKS.items():
+        if key in kind:
+            return peaks
+    return None
+
+
+def characterize(name, make_fn, *args, analytic_flops=None,
+                 analytic_bytes=None):
+    """Time a kernel and derive achieved GFLOP/s / GB/s.
+
+    XLA's cost analysis supplies FLOPs and bytes; for Pallas kernels
+    (opaque custom calls XLA cannot cost) pass analytic_flops /
+    analytic_bytes computed from the algorithm."""
     import jax
 
     fn = make_fn()
@@ -40,8 +64,10 @@ def characterize(name, make_fn, *args):
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0] if cost else {}
-    flops = float(cost.get("flops", 0.0))
-    bytes_acc = float(cost.get("bytes accessed", 0.0))
+    flops = float(cost.get("flops", 0.0)) if analytic_flops is None \
+        else float(analytic_flops)
+    bytes_acc = float(cost.get("bytes accessed", 0.0)) \
+        if analytic_bytes is None else float(analytic_bytes)
 
     def loop(x_args):
         import jax.lax as lax
@@ -59,13 +85,23 @@ def characterize(name, make_fn, *args):
     t0 = time.perf_counter()
     jax.block_until_ready(run(largs))
     dt = (time.perf_counter() - t0) / ITERS
-    return {
+    row = {
         "kernel": name,
         "time_ms": dt * 1e3,
         "gflops": flops / dt / 1e9 if flops else 0.0,
         "gbytes_s": bytes_acc / dt / 1e9 if bytes_acc else 0.0,
         "flops_per_byte": flops / bytes_acc if bytes_acc else 0.0,
     }
+    peaks = chip_peaks()
+    if peaks:
+        # % of the roofline bound: a kernel is at its roofline when it
+        # saturates whichever resource (HBM BW or FLOPs) binds it
+        frac_bw = row["gbytes_s"] / peaks["gbytes_s"]
+        frac_fl = row["gflops"] / peaks["gflops"]
+        row["pct_hbm_peak"] = 100.0 * frac_bw
+        row["pct_flop_peak"] = 100.0 * frac_fl
+        row["pct_roofline"] = 100.0 * max(frac_bw, frac_fl)
+    return row
 
 
 def main():
@@ -96,20 +132,62 @@ def main():
     _trace = contextlib.ExitStack()
     _trace.enter_context(trace_ctx)
 
+    from gridpp_tpu.ops import pallas_stencil
+    pallas = pallas_stencil.available()
+
     x2k = rng.random((2048, 2048)).astype(np.float32)
+    # On TPU ops.neighbourhood dispatches to the Pallas kernels, which
+    # XLA costs as opaque custom calls -> supply analytic traffic:
+    # read x + NaN-halo pad (write + re-read) + write out.
+    h = 7
+    stencil_bytes = None
+    stencil_flops = None
+    if pallas:
+        ny = nx = 2048
+        pad_cells = (2048 + 16) * (2048 + 2 * h + 113) * 4  # _shapes pads
+        stencil_bytes = x2k.nbytes * 2 + 2 * pad_cells
+        stencil_flops = 2048 * 2048 * 27  # ~2 axes x log2(15) adds x 2 + fin
+    tag = " [pallas]" if pallas else ""
     rows.append(characterize(
-        "neighbourhood mean 2048^2 h=7",
+        f"neighbourhood mean 2048^2 h=7{tag}",
         lambda: (lambda a: nops.neighbourhood(a, 7, int(Statistic.Mean))),
-        x2k))
+        x2k, analytic_flops=stencil_flops, analytic_bytes=stencil_bytes))
     rows.append(characterize(
-        "neighbourhood max 2048^2 h=7",
+        f"neighbourhood max 2048^2 h=7{tag}",
         lambda: (lambda a: nops.neighbourhood(a, 7, int(Statistic.Max))),
-        x2k))
+        x2k, analytic_flops=stencil_flops, analytic_bytes=stencil_bytes))
     thr = np.linspace(0, 1, 11).astype(np.float32)
+    qf_flops = 2048 * 2048 * (12 + 11 * 14 + 11 * 8) if pallas else None
     rows.append(characterize(
-        "quantile_fast 2048^2 T=11",
+        f"quantile_fast 2048^2 T=11{tag}",
         lambda: (lambda a, t: nops.neighbourhood_quantile_fast(
-            a, 0.5, 7, t)), x2k, thr))
+            a, 0.5, 7, t)), x2k, thr,
+        analytic_flops=qf_flops, analytic_bytes=stencil_bytes))
+
+    # EnSI local ensemble transform update (the 2000^2 ensemble OI hot
+    # block): gathered panels -> Pinv -> Newton-Schulz inverse sqrt ->
+    # member increments. Pure XLA (cost analysis applies).
+    from gridpp_tpu.ops.oi_ensi import _ensi_update
+    be, ee, se = 16384, 10, 10
+    y_pan = rng.normal(0, 5, (be, se, ee)).astype(np.float32)
+    obs_pan = rng.normal(280, 5, (be, se)).astype(np.float32)
+    sig_pan = np.full((be, se), 1.5, np.float32)
+    rho_pan = rng.uniform(0.1, 1, (be, se)).astype(np.float32)
+    yhat_pan = rng.normal(280, 5, (be, se)).astype(np.float32)
+    bg_pan = rng.normal(280, 5, (be, ee)).astype(np.float32)
+
+    def make_ensi_row():
+        sel_valid = jnp.ones((be, se), bool)
+
+        def fn(bgc, l_rho, l_obs, l_sig, l_y, l_yhat):
+            out, _ = _ensi_update(None, sel_valid, l_rho, l_obs, l_sig,
+                                  l_y, l_yhat, bgc, True)
+            return out
+        return fn
+
+    rows.append(characterize(
+        f"EnSI update B={be} E={ee} S={se}", make_ensi_row, bg_pan,
+        rho_pan, obs_pan, sig_pan, y_pan, yhat_pan))
 
     # dense OI block: B gridpoints x P obs rho sweep + top-k + solve
     b, p, s = 16384, 4096, 10
@@ -146,11 +224,25 @@ def main():
     if opts.trace:
         print(f"profiler trace written to {opts.trace}")
 
-    print("| kernel | time (ms) | GFLOP/s | GB/s | FLOPs/byte |")
-    print("|---|---|---|---|---|")
-    for r in rows:
-        print(f"| {r['kernel']} | {r['time_ms']:.2f} | {r['gflops']:.1f} "
-              f"| {r['gbytes_s']:.1f} | {r['flops_per_byte']:.2f} |")
+    peaks = chip_peaks()
+    if peaks:
+        print(f"chip peaks used: {peaks['gbytes_s']:.0f} GB/s HBM, "
+              f"{peaks['gflops'] / 1e3:.1f} TFLOP/s f32")
+        print("| kernel | time (ms) | GFLOP/s | GB/s | FLOPs/byte "
+              "| %HBM peak | %roofline |")
+        print("|---|---|---|---|---|---|---|")
+        for r in rows:
+            print(f"| {r['kernel']} | {r['time_ms']:.2f} "
+                  f"| {r['gflops']:.1f} | {r['gbytes_s']:.1f} "
+                  f"| {r['flops_per_byte']:.2f} "
+                  f"| {r['pct_hbm_peak']:.0f}% | {r['pct_roofline']:.0f}% |")
+    else:
+        print("| kernel | time (ms) | GFLOP/s | GB/s | FLOPs/byte |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            print(f"| {r['kernel']} | {r['time_ms']:.2f} "
+                  f"| {r['gflops']:.1f} | {r['gbytes_s']:.1f} "
+                  f"| {r['flops_per_byte']:.2f} |")
     print(json.dumps(rows))
 
 

@@ -110,7 +110,7 @@ def worker():
                        "n_hosts": jax.process_count()}, f)
 
 
-def launch(hosts: int, n: int, n_obs: int, port: int):
+def launch(hosts: int, n: int, n_obs: int, port: int, timeout: int = 600):
     """Spawn `hosts` worker processes; return process-0's result dict."""
     with tempfile.TemporaryDirectory() as td:
         out_path = os.path.join(td, "result.json")
@@ -132,7 +132,7 @@ def launch(hosts: int, n: int, n_obs: int, port: int):
             procs.append(subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--worker"],
                 env=env, cwd=ROOT))
-        codes = [p.wait(timeout=600) for p in procs]
+        codes = [p.wait(timeout=timeout) for p in procs]
         if any(codes):
             raise RuntimeError(f"worker exit codes: {codes}")
         with open(out_path) as f:
@@ -146,6 +146,9 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--obs", type=int, default=2000)
     ap.add_argument("--port", type=int, default=52525)
+    ap.add_argument("--timeout", type=int, default=600,
+                    help="per-launch worker wall-clock limit in seconds "
+                         "(raise for north-star-scale grids)")
     ap.add_argument("--out", default=os.path.join(ROOT,
                                                   "MULTIHOST_SCALING.json"),
                     help="report path (default: repo-root artifact; pass "
@@ -156,8 +159,9 @@ def main():
         worker()
         return
 
-    single = launch(1, args.n, args.obs, args.port)
-    multi = launch(args.hosts, args.n, args.obs, args.port + 1)
+    single = launch(1, args.n, args.obs, args.port, args.timeout)
+    multi = launch(args.hosts, args.n, args.obs, args.port + 1,
+                   args.timeout)
     speedup = single["time_s"] / multi["time_s"]
     efficiency = speedup / args.hosts
     parity = abs(single["checksum"] - multi["checksum"]) <= \
