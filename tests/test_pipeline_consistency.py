@@ -228,6 +228,31 @@ def test_ensi_pipeline_vs_plain(seed):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
 
 
+def test_ensi_pipeline_assume_valid_matches_general():
+    """The static-prefix fast path (assume_valid=True) must match the
+    general per-cycle top-k path exactly when every value is finite."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(42)
+    n, n_obs, e = 30, 80, 6
+    lats, lons = np.meshgrid(np.linspace(55, 58, n),
+                             np.linspace(5, 8, n), indexing="ij")
+    grid = gridpp.Grid(lats, lons)
+    pts = gridpp.Points(rng.uniform(55, 58, n_obs),
+                        rng.uniform(5, 8, n_obs),
+                        np.zeros(n_obs), np.zeros(n_obs))
+    background = rng.normal(280, 5, (n, n, e)).astype(np.float32)
+    pobs = rng.normal(280, 5, n_obs).astype(np.float32)
+    psig = np.full(n_obs, 1.5, np.float32)
+    structure = gridpp.BarnesStructure(30000.0)
+    pipe = gridpp.EnsiPipeline(grid, pts, structure, halfwidth=2,
+                               statistic=gridpp.Mean, max_points=5)
+    gen, _ = pipe.run_device(jnp.asarray(background), jnp.asarray(pobs),
+                             jnp.asarray(psig))
+    fast, _ = pipe.run_device(jnp.asarray(background), jnp.asarray(pobs),
+                              jnp.asarray(psig), assume_valid=True)
+    np.testing.assert_array_equal(np.asarray(gen), np.asarray(fast))
+
+
 def test_ensi_pipeline_smoothing():
     """halfwidth > 0 smooths each member before the ensemble update."""
     rng = np.random.default_rng(3)

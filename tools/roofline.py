@@ -1,11 +1,12 @@
 """Roofline characterization of the device-side hot kernels.
 
-For each production kernel, XLA's own cost analysis (FLOPs + bytes
-accessed) is combined with on-device wall time (a jitted lax.fori_loop of
-ITERS applications, so per-dispatch latency - ~24 ms over the axon
-tunnel - is amortized away) to derive achieved GFLOP/s and GB/s.
-SURVEY.md section 5 asks for exactly this: per-kernel roofline notes
-guiding perf work.
+For each production kernel, FLOPs (XLA cost analysis, or analytic for
+opaque Pallas calls) and minimum io bytes are combined with on-device
+wall time (ITERS chained pipelined dispatches amortize the axon tunnel's
+per-dispatch latency; see `characterize` for why a fori_loop harness is
+wrong) to derive achieved GFLOP/s, effective io GB/s, and % of the chip
+roofline. SURVEY.md section 5 asks for exactly this: per-kernel roofline
+notes guiding perf work.
 
     python tools/roofline.py              # real device (TPU under axon)
     python tools/roofline.py --trace DIR  # also write a jax.profiler
@@ -28,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-ITERS = 20
+ITERS = 300
 
 # Chip peaks for the %-of-roofline columns, keyed by substrings of
 # jax.Device.device_kind. (f32 FLOP peak = MXU bf16 peak / 4.)
@@ -49,41 +50,54 @@ def chip_peaks():
     return None
 
 
-def characterize(name, make_fn, *args, analytic_flops=None,
-                 analytic_bytes=None):
-    """Time a kernel and derive achieved GFLOP/s / GB/s.
+def characterize(name, make_fn, *args, analytic_flops=None):
+    """Time a kernel and derive achieved GFLOP/s / io GB/s.
 
-    XLA's cost analysis supplies FLOPs and bytes; for Pallas kernels
-    (opaque custom calls XLA cannot cost) pass analytic_flops /
-    analytic_bytes computed from the algorithm."""
+    Timing: ITERS jitted dispatches, chained (output fed back as arg0
+    when shape-compatible, so no iteration is dead code) and pipelined
+    (async dispatch); per-dispatch tunnel latency amortizes at this
+    depth. A lax.fori_loop harness is NOT used: the loop carry forces a
+    per-iteration buffer copy that inflates sub-ms kernels ~3x
+    (measured).
+
+    FLOPs come from XLA's cost analysis unless analytic_flops overrides
+    it (Pallas custom calls are opaque to XLA). Bytes are the MINIMUM
+    io traffic (sum of input + output array sizes): "GB/s (io)" is the
+    effective bandwidth a user-visible call achieves, a lower bound on
+    actual HBM traffic (fused intermediates excluded by design; XLA's
+    "bytes accessed" overcounts VMEM-resident temporaries by orders of
+    magnitude on fused programs).
+    """
     import jax
 
     fn = make_fn()
-    lowered = jax.jit(fn).lower(*args)
+    jfn = jax.jit(fn)
+    lowered = jfn.lower(*args)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0] if cost else {}
     flops = float(cost.get("flops", 0.0)) if analytic_flops is None \
         else float(analytic_flops)
-    bytes_acc = float(cost.get("bytes accessed", 0.0)) \
-        if analytic_bytes is None else float(analytic_bytes)
 
-    def loop(x_args):
-        import jax.lax as lax
-        # fold each output back into arg0 so no iteration is dead code
-        # (requires fn(out, rest...) to be shape-stable, true for all
-        # kernels characterized here)
-        out = lax.fori_loop(0, ITERS,
-                            lambda i, a: (fn(*a),) + a[1:], x_args)
-        return out[0]
-
-    import jax
     largs = tuple(jax.device_put(a) for a in args)
-    run = jax.jit(loop)
-    jax.block_until_ready(run(largs))  # compile + warm
+    out = jfn(*largs)
+    jax.block_until_ready(out)  # compile + warm
+
+    def nbytes(t):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
+
+    bytes_acc = nbytes(largs) + nbytes(out)
+    first = jax.tree.leaves(out)[0]
+    chain = hasattr(first, "shape") and getattr(largs[0], "shape", None) \
+        == first.shape and largs[0].dtype == first.dtype
     t0 = time.perf_counter()
-    jax.block_until_ready(run(largs))
+    cur = largs[0]
+    for _ in range(ITERS):
+        out = jfn(cur, *largs[1:])
+        if chain:
+            cur = jax.tree.leaves(out)[0]
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / ITERS
     row = {
         "kernel": name,
@@ -95,7 +109,7 @@ def characterize(name, make_fn, *args, analytic_flops=None,
     peaks = chip_peaks()
     if peaks:
         # % of the roofline bound: a kernel is at its roofline when it
-        # saturates whichever resource (HBM BW or FLOPs) binds it
+        # saturates whichever resource (HBM io BW or FLOPs) binds it
         frac_bw = row["gbytes_s"] / peaks["gbytes_s"]
         frac_fl = row["gflops"] / peaks["gflops"]
         row["pct_hbm_peak"] = 100.0 * frac_bw
@@ -137,32 +151,62 @@ def main():
 
     x2k = rng.random((2048, 2048)).astype(np.float32)
     # On TPU ops.neighbourhood dispatches to the Pallas kernels, which
-    # XLA costs as opaque custom calls -> supply analytic traffic:
-    # read x + NaN-halo pad (write + re-read) + write out.
-    h = 7
-    stencil_bytes = None
-    stencil_flops = None
-    if pallas:
-        ny = nx = 2048
-        pad_cells = (2048 + 16) * (2048 + 2 * h + 113) * 4  # _shapes pads
-        stencil_bytes = x2k.nbytes * 2 + 2 * pad_cells
-        stencil_flops = 2048 * 2048 * 27  # ~2 axes x log2(15) adds x 2 + fin
+    # XLA costs as opaque custom calls -> supply analytic FLOPs
+    # (2 separable axes x ~2 log2(2h+1) dilated adds x value+count
+    # passes + finalization).
+    stencil_flops = 2048 * 2048 * 27 if pallas else None
+    qf_flops = 2048 * 2048 * (12 + 11 * 14 + 11 * 8) if pallas else None
     tag = " [pallas]" if pallas else ""
     rows.append(characterize(
         f"neighbourhood mean 2048^2 h=7{tag}",
         lambda: (lambda a: nops.neighbourhood(a, 7, int(Statistic.Mean))),
-        x2k, analytic_flops=stencil_flops, analytic_bytes=stencil_bytes))
+        x2k, analytic_flops=stencil_flops))
     rows.append(characterize(
         f"neighbourhood max 2048^2 h=7{tag}",
         lambda: (lambda a: nops.neighbourhood(a, 7, int(Statistic.Max))),
-        x2k, analytic_flops=stencil_flops, analytic_bytes=stencil_bytes))
+        x2k, analytic_flops=stencil_flops))
     thr = np.linspace(0, 1, 11).astype(np.float32)
-    qf_flops = 2048 * 2048 * (12 + 11 * 14 + 11 * 8) if pallas else None
     rows.append(characterize(
         f"quantile_fast 2048^2 T=11{tag}",
         lambda: (lambda a, t: nops.neighbourhood_quantile_fast(
-            a, 0.5, 7, t)), x2k, thr,
-        analytic_flops=qf_flops, analytic_bytes=stencil_bytes))
+            a, 0.5, 7, t)), x2k, thr, analytic_flops=qf_flops))
+
+    if pallas:
+        # XLA reduce_window comparison rows (the path every non-TPU
+        # backend runs), via the stencil internals to dodge the
+        # Pallas dispatch in ops.neighbourhood
+        def make_xla_mean():
+            def fn(a):
+                s = nops.window_sum(a, 7)
+                c = nops.window_count(a, 7)
+                return jnp.where(c > 0, s / jnp.maximum(c, 1), jnp.nan)
+            return fn
+
+        rows.append(characterize("neighbourhood mean 2048^2 h=7 [xla]",
+                                 make_xla_mean, x2k))
+
+        def make_xla_qf():
+            thr_j = jnp.asarray(thr)
+            t = len(thr)
+
+            def fn(a):
+                valid = jnp.isfinite(a)
+                le = a[None] <= thr_j.reshape((t, 1, 1))
+                temp = jnp.where(valid[None], le.astype(jnp.float32),
+                                 jnp.nan)
+                sts = jnp.stack([
+                    jnp.where(nops.window_count(temp[k], 7) > 0,
+                              nops.window_sum(temp[k], 7)
+                              / jnp.maximum(nops.window_count(temp[k], 7),
+                                            1), jnp.nan)
+                    for k in range(t)])
+                cdf = jnp.where(jnp.isfinite(sts),
+                                jnp.clip(sts, 0, 1), jnp.nan)
+                return nops._interp_quantile_tyx(0.5, cdf, thr_j)
+            return fn
+
+        rows.append(characterize("quantile_fast 2048^2 T=11 [xla]",
+                                 make_xla_qf, x2k))
 
     # EnSI local ensemble transform update (the 2000^2 ensemble OI hot
     # block): gathered panels -> Pinv -> Newton-Schulz inverse sqrt ->
@@ -228,8 +272,8 @@ def main():
     if peaks:
         print(f"chip peaks used: {peaks['gbytes_s']:.0f} GB/s HBM, "
               f"{peaks['gflops'] / 1e3:.1f} TFLOP/s f32")
-        print("| kernel | time (ms) | GFLOP/s | GB/s | FLOPs/byte "
-              "| %HBM peak | %roofline |")
+        print("| kernel | time (ms) | GFLOP/s | GB/s (io) | FLOPs/byte "
+              "| %HBM peak (io) | %roofline |")
         print("|---|---|---|---|---|---|---|")
         for r in rows:
             print(f"| {r['kernel']} | {r['time_ms']:.2f} "
@@ -237,7 +281,7 @@ def main():
                   f"| {r['flops_per_byte']:.2f} "
                   f"| {r['pct_hbm_peak']:.0f}% | {r['pct_roofline']:.0f}% |")
     else:
-        print("| kernel | time (ms) | GFLOP/s | GB/s | FLOPs/byte |")
+        print("| kernel | time (ms) | GFLOP/s | GB/s (io) | FLOPs/byte |")
         print("|---|---|---|---|---|")
         for r in rows:
             print(f"| {r['kernel']} | {r['time_ms']:.2f} "
