@@ -5,7 +5,7 @@ window combines as HBM-level passes; these kernels stream row blocks
 HBM->VMEM once, do both separable passes (values AND valid-count, so
 NaN-skip semantics match ops/neighbourhood.py exactly) entirely in VMEM,
 finalize the statistic in-register and write the result once: HBM
-traffic is read(x) + write(out) plus one NaN-halo pad of the input.
+traffic is read(x) + write(out), the theoretical minimum.
 
 Window reductions use dilated doubling (log-depth shift-combine) so
 only ~log2(2h+1) value temps are live at once: Mosaic keeps every live
@@ -25,10 +25,13 @@ Kernels:
   flat-interval rules, util.cpp:377-432) happens in-register. One read
   of x, one write of the quantile field.
 
-The input is NaN-padded by `h` on all sides before the call, so edge
-blocks need no clamping: out-of-domain cells carry zero weight in the
-count, reproducing the reference's clipped-window semantics
-(neighbourhood.cpp:45-144).
+Edge handling is pad-free (`_load_block`): each block DMAs its halo
+window straight from the original field with a clamped start, rotates
+it into alignment, and NaN-masks out-of-domain rows/cols with iota
+comparisons - out-of-domain cells then carry zero weight in the count,
+reproducing the reference's clipped-window semantics
+(neighbourhood.cpp:45-144) with no extra HBM copy. Grids smaller than
+one block row window fall back to a NaN-halo pre-pad.
 
 TPU-only (used by Pipeline and the neighbourhood ops when running on an
 accelerator); every other path keeps the XLA stencil. Falls back
@@ -68,11 +71,38 @@ def _pad_halo(x, h, by, rows, xpad):
         nyb
 
 
+def _prep_input(x, h, by, rows, xpad, ny, nx):
+    """Choose pad-free vs pre-padded input form for the kernels.
+
+    Pad-free needs a full (rows,) DMA window (ny >= rows) and an
+    8-aligned bottom clamp (ny % 8 == 0); otherwise NaN-halo pre-pad.
+    Returns (xin, xtail, n_blocks, padded). xtail is the 128-wide
+    trailing-column strip for lane-unaligned nx (dummy when unused:
+    Pallas input arity is static)."""
+    padded = ny < rows or ny % 8 != 0
+    if padded:
+        xin, nyb = _pad_halo(x, h, by, rows, xpad)
+    else:
+        xin = x.astype(jnp.float32)
+        nyb = -(-ny // by)
+    nxd = (nx // 128) * 128
+    if not padded and nxd < nx:
+        xtail = jnp.full((ny, 128), jnp.nan, jnp.float32)
+        xtail = jax.lax.dynamic_update_slice(
+            xtail, xin[:, nxd:nx], (0, 0))
+    else:
+        xtail = jnp.zeros((8, 128), jnp.float32)
+    return xin, xtail, nyb, padded
+
+
 def _shapes(ny, nx, h, by=_BY):
     by = min(by, max(8, ny))
     outw = -(-nx // 128) * 128
     xpad = -(-(outw + 2 * h) // 128) * 128
-    rows = -(-(by + 2 * h) // 8) * 8  # 8-sublane-aligned DMA slice
+    # 8-sublane-aligned DMA slice, +8 slack rows so the pad-free path
+    # can round its DMA start down to an 8-aligned row (Mosaic requires
+    # provably 8-divisible HBM slice starts) and still cover the window
+    rows = -(-(by + 2 * h) // 8) * 8 + 8
     return by, outw, xpad, rows
 
 
@@ -129,19 +159,64 @@ def _slide_ext(v, length, axis, out_len, op):
     return _crop(cur, out_len, axis)
 
 
-def _mean_kernel(x_hbm, out_ref, scratch, sem, *, h, by, rows, xpad,
-                 outw, stat):
+def _load_block(x_hbm, xtail_hbm, scratch, sem, i, *, h, by, rows, ny,
+                nx, padded):
+    """Fetch block i's (rows, xpad) input window into VMEM.
+
+    padded=True: x_hbm is the NaN-halo pre-padded buffer; plain DMA.
+    padded=False: x_hbm is the ORIGINAL (ny, nx) field - no halo copy
+    ever materializes in HBM. The DMA start is clamped into range and
+    rounded down to the 8-sublane alignment Mosaic requires (the +8
+    slack rows in `rows` keep the window covered; requires ny % 8 == 0
+    so the bottom clamp stays aligned), the block is rotated into halo
+    alignment (dynamic pltpu.roll), and out-of-domain rows/cols are
+    NaN-masked via iota comparisons - reproducing the NaN-halo
+    semantics exactly. When nx is not 128-lane-aligned, the last
+    partial lane tile arrives via `xtail_hbm`, a (ny, 128) strip copy
+    of the trailing columns (~1 MB, vs re-padding the whole field).
+    """
     from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
 
-    i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * by, rows), :], scratch, sem)
-    dma.start()
-    dma.wait()
+    if padded:
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * by, rows), :], scratch, sem)
+        dma.start()
+        dma.wait()
+        return scratch[:]
 
+    nxd = (nx // 128) * 128
+    d0 = i * by - h               # absolute row of scratch row 0
+    s0 = (jnp.clip(d0, 0, ny - rows) // 8) * 8
+    if nxd:
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(s0, rows), 0:nxd], scratch.at[:, 0:nxd], sem)
+        dma.start()
+        dma.wait()
+    if nxd < nx:
+        dma = pltpu.make_async_copy(
+            xtail_hbm.at[pl.ds(s0, rows), :],
+            scratch.at[:, nxd:nxd + 128], sem)
+        dma.start()
+        dma.wait()
+    v = scratch[:]
+    v = pltpu.roll(v, shift=jnp.remainder(s0 - d0, rows), axis=0)
+    if h:
+        v = pltpu.roll(v, shift=h, axis=1)
+    row_abs = d0 + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    col_abs = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) - h
+    ok = (row_abs >= 0) & (row_abs < ny) & (col_abs >= 0) & (col_abs < nx)
+    return jnp.where(ok, v, jnp.nan)
+
+
+def _mean_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h, by,
+                 rows, xpad, outw, stat, ny, nx, padded):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    vals = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
+                       rows=rows, ny=ny, nx=nx, padded=padded)
     length = 2 * h + 1
-    vals = scratch[:]
     m = jnp.isfinite(vals)
     s = _slide_sum(_slide_sum(jnp.where(m, vals, 0.0), length, 0, by),
                    length, 1, outw)
@@ -155,18 +230,13 @@ def _mean_kernel(x_hbm, out_ref, scratch, sem, *, h, by, rows, xpad,
         out_ref[:] = jnp.where(c > 0, s / jnp.maximum(c, 1.0), jnp.nan)
 
 
-def _minmax_kernel(x_hbm, out_ref, scratch, sem, *, h, by, rows,
-                   xpad, outw, stat):
-    from jax.experimental.pallas import tpu as pltpu
+def _minmax_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h, by,
+                   rows, xpad, outw, stat, ny, nx, padded):
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * by, rows), :], scratch, sem)
-    dma.start()
-    dma.wait()
-
-    vals = scratch[:]
+    vals = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
+                       rows=rows, ny=ny, nx=nx, padded=padded)
     m = jnp.isfinite(vals)
     if stat == int(Statistic.Min):
         ident, op = jnp.inf, jnp.minimum
@@ -176,6 +246,31 @@ def _minmax_kernel(x_hbm, out_ref, scratch, sem, *, h, by, rows,
     ext = _slide_ext(_slide_ext(jnp.where(m, vals, ident), length, 0, by,
                                 op), length, 1, outw, op)
     out_ref[:] = jnp.where(jnp.isfinite(ext), ext, jnp.nan)
+
+def _run_2pass(x, h, stat, kernel_fn, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx = x.shape
+    by, outw, xpad, rows = _shapes(ny, nx, h)
+    xin, xtail, nyb, padded = _prep_input(x, h, by, rows, xpad, ny, nx)
+    kernel = functools.partial(kernel_fn, h=h, by=by, rows=rows,
+                               xpad=xpad, outw=outw, stat=stat, ny=ny,
+                               nx=nx, padded=padded)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nyb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, xpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xin, xtail)
+    return out
 
 
 @functools.partial(jax.jit,
@@ -197,24 +292,7 @@ def neighbourhood_mean(x: jax.Array, halfwidth: int,
         if stat == int(Statistic.Count):
             return m.astype(jnp.float32)
         return jnp.where(m, x, jnp.nan)
-    ny, nx = x.shape
-    by, outw, xpad, rows = _shapes(ny, nx, h)
-    xp, nyb = _pad_halo(x, h, by, rows, xpad)
-    kernel = functools.partial(_mean_kernel, h=h, by=by, rows=rows,
-                               xpad=xpad, outw=outw, stat=stat)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nyb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((rows, xpad), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(xp)
-    return out
+    return _run_2pass(x, h, stat, _mean_kernel, interpret)
 
 
 @functools.partial(jax.jit,
@@ -230,40 +308,19 @@ def neighbourhood_minmax(x: jax.Array, halfwidth: int, statistic: int,
     if h == 0:
         m = jnp.isfinite(x)
         return jnp.where(m, x, jnp.nan)
-    ny, nx = x.shape
-    by, outw, xpad, rows = _shapes(ny, nx, h)
-    xp, nyb = _pad_halo(x, h, by, rows, xpad)
-    kernel = functools.partial(_minmax_kernel, h=h, by=by, rows=rows,
-                               xpad=xpad, outw=outw, stat=stat)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nyb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((rows, xpad), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(xp)
-    return out
+    return _run_2pass(x, h, stat, _minmax_kernel, interpret)
 
 
-def _qf_kernel(thr_smem, q_smem, x_hbm, out_ref, scratch, cnt, lr, xy,
-               cdf, sem, *, h, by, rows, xpad, outw, t):
-    from jax.experimental.pallas import tpu as pltpu
+def _qf_kernel(thr_smem, q_smem, x_hbm, xtail_hbm, out_ref, scratch,
+               cnt, lr, xy, cdf, sem, *, h, by, rows, xpad, outw, t, ny,
+               nx, padded):
     import jax.experimental.pallas as pl
 
     q = q_smem[0]
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * by, rows), :], scratch, sem)
-    dma.start()
-    dma.wait()
-
+    vals = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
+                       rows=rows, ny=ny, nx=nx, padded=padded)
     length = 2 * h + 1
-    vals = scratch[:]
     m = jnp.isfinite(vals)
     c = _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0, by),
                    length, 1, outw)
@@ -356,14 +413,16 @@ def neighbourhood_quantile_fast(x: jax.Array, quantile,
     # unrolled T loop): keep the row block small
     by = 16 if t > 24 else 32
     by, outw, xpad, rows = _shapes(ny, nx, h, by=by)
-    xp, nyb = _pad_halo(x, h, by, rows, xpad)
+    xin, xtail, nyb, padded = _prep_input(x, h, by, rows, xpad, ny, nx)
     kernel = functools.partial(_qf_kernel, h=h, by=by, rows=rows,
-                               xpad=xpad, outw=outw, t=t)
+                               xpad=xpad, outw=outw, t=t, ny=ny, nx=nx,
+                               padded=padded)
     out = pl.pallas_call(
         kernel,
         grid=(nyb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
@@ -377,5 +436,5 @@ def neighbourhood_quantile_fast(x: jax.Array, quantile,
         ],
         interpret=interpret,
     )(jnp.asarray(thresholds, jnp.float32),
-      jnp.asarray(quantile, jnp.float32).reshape(1), xp)
+      jnp.asarray(quantile, jnp.float32).reshape(1), xin, xtail)
     return out

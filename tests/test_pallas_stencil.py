@@ -23,7 +23,11 @@ def _field(shape, seed=0, nan_frac=0.1):
 @pytest.mark.parametrize("stat", [Statistic.Mean, Statistic.Sum,
                                   Statistic.Count])
 @pytest.mark.parametrize("shape,h", [((40, 60), 3), ((17, 250), 7),
-                                     ((300, 129), 1), ((31, 31), 0)])
+                                     ((300, 129), 1), ((31, 31), 0),
+                                     # pad-free edge path (ny % 8 == 0,
+                                     # ny >= rows) incl. unaligned nx
+                                     ((256, 129), 7), ((160, 128), 3),
+                                     ((256, 300), 7)])
 def test_matches_xla_stencil(stat, shape, h):
     x = _field(shape, seed=int(stat) + h)
     out = np.asarray(ps.neighbourhood_mean(jnp.asarray(x), h, int(stat),
@@ -37,7 +41,8 @@ def test_matches_xla_stencil(stat, shape, h):
 @pytest.mark.parametrize("stat", [Statistic.Min, Statistic.Max])
 @pytest.mark.parametrize("shape,h", [((40, 60), 3), ((17, 250), 7),
                                      ((300, 129), 1), ((31, 31), 0),
-                                     ((64, 64), 5)])
+                                     ((64, 64), 5), ((256, 129), 7),
+                                     ((160, 128), 3)])
 def test_minmax_matches_xla_stencil(stat, shape, h):
     x = _field(shape, seed=int(stat) + h)
     out = np.asarray(ps.neighbourhood_minmax(jnp.asarray(x), h, int(stat),
@@ -48,7 +53,9 @@ def test_minmax_matches_xla_stencil(stat, shape, h):
 
 @pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
 @pytest.mark.parametrize("shape,h,t", [((40, 60), 3, 11), ((17, 140), 7, 5),
-                                       ((33, 33), 2, 20), ((24, 24), 0, 7)])
+                                       ((33, 33), 2, 20), ((24, 24), 0, 7),
+                                       ((64, 130), 7, 11),
+                                       ((56, 128), 3, 5)])
 def test_quantile_fast_matches_xla(q, shape, h, t):
     x = _field(shape, seed=h + t)
     thresholds = np.quantile(x[np.isfinite(x)],
