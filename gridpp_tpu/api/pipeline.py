@@ -426,17 +426,23 @@ class EnsiPipeline:
                 / jnp.maximum(cnt, 1), jnp.nan)
             y_anom = jnp.where(fin & jnp.isfinite(y_hat)[:, None],
                                pback - y_hat[:, None], pback)
+            # ONE packed per-obs table [obs, sig, yhat, y_anom..] padded
+            # to a lane-friendly width: a single (B, S, 16)-row gather
+            # replaces the four separate obs-indexed gathers (TPU gather
+            # cost is per-row; measured 1.6x on the 2000^2 cycle)
+            padw = -(-(e + 3) // 8) * 8
+            tab = jnp.concatenate(
+                [pobs[:, None], psigmas[:, None], y_hat[:, None], y_anom,
+                 jnp.zeros((n_obs, padw - (e + 3)), jnp.float32)], axis=1)
             bg = pad_to(flat, jnp.nan).reshape(nb, block, e)
 
             def body(args):
                 g, rho, v, bgc = args
                 l_rho = jnp.where(v, rho, 0.0)
-                l_obs = jnp.take(pobs, g, axis=0)
-                l_sig = jnp.take(psigmas, g, axis=0)
-                l_yhat = jnp.take(y_hat, g, axis=0)
-                l_y = jnp.take(y_anom, g, axis=0)
-                return _ensi_update(struct, v, l_rho, l_obs, l_sig, l_y,
-                                    l_yhat, bgc, allow)
+                f = jnp.take(tab, g, axis=0)  # (B, S, padw)
+                return _ensi_update(struct, v, l_rho, f[:, :, 0],
+                                    f[:, :, 1], f[:, :, 3:3 + e],
+                                    f[:, :, 2], bgc, allow)
 
             out, cond_bad = jax.lax.map(body, (g_s, rho_s, v_s, bg))
             return (out.reshape(-1, e)[:n].reshape(shape + (e,)),

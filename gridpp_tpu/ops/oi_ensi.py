@@ -58,8 +58,14 @@ def _mm(u, v):
 
 
 def _mv(z, x):
-    """(E, E, B) matrix times per-batch vector (B, E) -> (B, E)."""
-    return jnp.einsum("ijb,bj->bi", z, x, preferred_element_type=jnp.float32)
+    """(E, E, B) matrix times per-batch vector (B, E) -> (B, E).
+
+    Written as an explicit multiply + reduce, NOT an einsum: a
+    dot_general here hits the MXU with its default bf16 operand
+    rounding (~1e-2 relative error in the member increments), and
+    requesting HIGHEST precision is an order of magnitude slower than
+    these exact-f32 VPU ops (both measured)."""
+    return (z * jnp.swapaxes(x, 0, 1)[None, :, :]).sum(axis=1).T
 
 
 def _inv_sqrt_ns(pinv):
@@ -79,12 +85,19 @@ def _inv_sqrt_ns(pinv):
     float32 accuracy matches an f32 eigh path (~kappa * eps relative
     error).
     """
-    b, e, _ = pinv.shape
-    dt = pinv.dtype
+    return _inv_sqrt_ns_m(jnp.moveaxis(pinv, 0, 2))
+
+
+def _inv_sqrt_ns_m(pinv_m):
+    """_inv_sqrt_ns with the input already batch-minor: (E, E, B)."""
+    e = pinv_m.shape[0]
+    dt = pinv_m.dtype
     # inf-norm upper bound on lambda_max for normalization
-    c = jnp.max(jnp.sum(jnp.abs(pinv), axis=2), axis=1)
+    c = jnp.max(jnp.sum(jnp.abs(pinv_m), axis=1), axis=0)
     c = jnp.where(jnp.isfinite(c) & (c > 0), c, 1.0)
-    a_mat = jnp.moveaxis(pinv, 0, 2) / c  # (E, E, B)
+    a_mat = pinv_m / c  # (E, E, B)
+    # the iteration diverges on non-symmetric input; enforce symmetry
+    a_mat = 0.5 * (a_mat + jnp.swapaxes(a_mat, 0, 1))
     eye = jnp.eye(e, dtype=dt)[:, :, None]
     y = a_mat
     z = jnp.broadcast_to(eye, a_mat.shape)
@@ -116,10 +129,20 @@ def _ensi_update(structure, sel_valid, l_rho, l_obs, l_sig, l_y, l_yhat,
     # Rinv diagonal: rho / sigma^2 (oi_ensi.cpp:296-302); zero for padded
     rinv = jnp.where(sel_valid, l_rho / (l_sig * l_sig), 0.0)
 
-    c = jnp.swapaxes(l_y, 1, 2) * rinv[:, None, :]  # (B, E, S)
-    pinv = jnp.einsum("bes,bsf->bef", c, l_y,
-                      preferred_element_type=jnp.float32) \
-        + (e - 1) * jnp.eye(e, dtype=jnp.float32)
+    # Batch-minor panels: (S, E, B) anomalies, (E, S, B) weighted rows.
+    # Everything from here runs as exact-f32 VPU multiply+reduce with
+    # the batch on the 128-lane axis - NOT einsums: a dot_general
+    # lowers to the MXU whose default bf16 operand rounding makes the
+    # Pinv product ASYMMETRIC (pinv[i,j] and pinv[j,i] round
+    # differently), and Newton-Schulz diverges on non-symmetric input
+    # (observed: ~0.01% of gridpoints blowing up to ~1e23 while the
+    # same matrices converge fine in f32). Requesting HIGHEST einsum
+    # precision instead is ~7x slower than these VPU ops (measured).
+    y_m = jnp.moveaxis(l_y, 0, 2)            # (S, E, B)
+    c_m = jnp.swapaxes(y_m, 0, 1) * jnp.moveaxis(rinv, 0, 1)[None]
+    pinv_m = _mm(c_m, y_m)                   # (E, E, B)
+    pinv_m = 0.5 * (pinv_m + jnp.swapaxes(pinv_m, 0, 1)) \
+        + (e - 1) * jnp.eye(e, dtype=jnp.float32)[:, :, None]
 
     # W = sqrt((E-1) Pinv^{-1}) and P C innov via the coupled
     # Newton-Schulz inverse sqrt (see _inv_sqrt_ns) instead of the
@@ -128,14 +151,13 @@ def _ensi_update(structure, sel_valid, l_rho, l_obs, l_sig, l_y, l_yhat,
     # `rcond <= 0` fallback (oi_ensi.cpp:386-390) can only trigger on
     # non-finite input; mirror it with a finiteness guard, counted the
     # same way (oi_ensi.cpp:557-566).
-    z, c_norm = _inv_sqrt_ns(pinv)  # z: (E, E, B) batch-minor
-    cond_ok = jnp.all(jnp.isfinite(pinv), axis=(1, 2)) \
+    z, c_norm = _inv_sqrt_ns_m(pinv_m)  # z: (E, E, B) batch-minor
+    cond_ok = jnp.all(jnp.isfinite(pinv_m), axis=(0, 1)) \
         & jnp.all(jnp.isfinite(z), axis=(0, 1))
 
     innov = jnp.where(sel_valid, l_obs - l_yhat, 0.0)
     # w = P C innov with P = Pinv^{-1} = z z / c: two (E x E) matvecs
-    cv = jnp.einsum("bes,bs->be", c, innov,
-                    preferred_element_type=jnp.float32)
+    cv = (c_m * jnp.moveaxis(innov, 0, 1)[None]).sum(axis=1).T
     w_vec = _mv(z, _mv(z, cv)) / c_norm[:, None]
 
     # increment_e = sum_k x_k (W + w 1^T)(k,e) = (W x)_e + (x . w),

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .oi_ensi import _inv_sqrt_ns, _mv
+from .oi_ensi import _inv_sqrt_ns_m, _mm, _mv
 
 __all__ = ["make_ebe_kernel", "make_ebesc_kernel", "make_utem_kernel"]
 
@@ -168,10 +168,16 @@ def make_utem_kernel(structure, max_points: int, allow_extrapolation: bool):
         l_yc = jnp.take_along_axis(y_corr, sel[:, :, None], axis=1)
 
         rinv = jnp.where(sel_valid, l_rho / l_r, 0.0)
-        c = jnp.swapaxes(l_yc, 1, 2) * rinv[:, None, :]  # (B, E, S)
-        pinv = jnp.einsum("bes,bsf->bef", c, l_yc,
-                          preferred_element_type=jnp.float32) \
-            + jnp.eye(e, dtype=jnp.float32)
+        # batch-minor exact-f32 VPU forms + symmetrize: the MXU's
+        # default bf16 rounding makes a dot_general product asymmetric
+        # and Newton-Schulz diverges on non-symmetric input
+        # (see ops/oi_ensi._ensi_update)
+        yc_m = jnp.moveaxis(l_yc, 0, 2)                    # (S, E, B)
+        c_m = jnp.swapaxes(yc_m, 0, 1) \
+            * jnp.moveaxis(rinv, 0, 1)[None]               # (E, S, B)
+        pinv_m = _mm(c_m, yc_m)
+        pinv_m = 0.5 * (pinv_m + jnp.swapaxes(pinv_m, 0, 1)) \
+            + jnp.eye(e, dtype=jnp.float32)[:, :, None]
         # Coupled Newton-Schulz inverse sqrt (ops/oi_ensi._inv_sqrt_ns)
         # instead of batched eigh: gives W = sqrt((E-1) Pinv^{-1}) and
         # P C innov. Pinv here is SPD with lambda_min >= 1 by
@@ -179,12 +185,11 @@ def make_utem_kernel(structure, max_points: int, allow_extrapolation: bool):
         # (oi_ensi_multi.cpp:1106-1121: keep raw background + count a
         # warning) can only trigger on non-finite input; mirror it with
         # a finiteness check.
-        z, c_norm = _inv_sqrt_ns(pinv)  # z: (E, E, B) batch-minor
-        cond_ok = jnp.all(jnp.isfinite(pinv), axis=(1, 2)) \
+        z, c_norm = _inv_sqrt_ns_m(pinv_m)  # z: (E, E, B) batch-minor
+        cond_ok = jnp.all(jnp.isfinite(pinv_m), axis=(0, 1)) \
             & jnp.all(jnp.isfinite(z), axis=(0, 1))
         innov = jnp.where(sel_valid, l_obs - l_yhat, 0.0)
-        cv = jnp.einsum("bes,bs->be", c, innov,
-                        preferred_element_type=jnp.float32)
+        cv = (c_m * jnp.moveaxis(innov, 0, 1)[None]).sum(axis=1).T
         w_vec = _mv(z, _mv(z, cv)) / c_norm[:, None]
 
         ens_mean = jnp.mean(background, axis=1)
