@@ -85,19 +85,18 @@ def make_ebe_kernel(structure, max_points: int, allow_extrapolation: bool):
         pair_valid = sel_valid[:, :, None] & sel_valid[:, None, :]
         s_cap = loc2d.shape[1]
         eye = jnp.eye(s_cap, dtype=jnp.float32)
-        # lr_lr = loc1d o (x_l . z_r^T)
-        lr_lr = l_rho * jnp.einsum("be,bse->bs", x_l, l_z,
-                                   preferred_element_type=jnp.float32)
-        # lR_rr = loc2d o (z_r z_r^T)
-        r_rr = loc2d * jnp.einsum("bse,bte->bst", l_z, l_z,
-                                  preferred_element_type=jnp.float32)
+        # lr_lr = loc1d o (x_l . z_r^T); lR_rr = loc2d o (z_r z_r^T).
+        # Explicit multiply+reduce, not einsum: the MXU's default bf16
+        # operand rounding costs ~1e-2 relative error and breaks the
+        # symmetry of r_rr feeding the solve (see ops/oi_ensi).
+        lr_lr = l_rho * (x_l[:, None, :] * l_z).sum(axis=2)
+        r_rr = loc2d * (l_z[:, :, None, :] * l_z[:, None, :, :]).sum(-1)
         a_mat = jnp.where(pair_valid, r_rr, 0.0) + \
             jnp.where(sel_valid, l_r, 1.0)[:, :, None] * eye
         a_mat = jnp.where(pair_valid | (eye > 0), a_mat, 0.0)
         lk = jnp.linalg.solve(a_mat, jnp.where(sel_valid, lr_lr,
                                                0.0)[:, :, None])[:, :, 0]
-        dx = bratios[:, None] * jnp.einsum(
-            "bs,bse->be", lk, l_innov, preferred_element_type=jnp.float32)
+        dx = bratios[:, None] * (lk[:, :, None] * l_innov).sum(axis=1)
         if not allow_extrapolation:
             dx = _anti_extrap_member(dx, l_innov, sel_valid)
         ok = jnp.any(sel_valid, axis=1) & jnp.all(jnp.isfinite(dx), axis=1)
@@ -134,8 +133,7 @@ def make_ebesc_kernel(structure, max_points: int, allow_extrapolation: bool):
         a_mat = jnp.where(pair_valid | (eye > 0), a_mat, 0.0)
         lk = jnp.linalg.solve(a_mat, jnp.where(sel_valid, l_rho,
                                                0.0)[:, :, None])[:, :, 0]
-        dx = bratios[:, None] * jnp.einsum(
-            "bs,bse->be", lk, l_innov, preferred_element_type=jnp.float32)
+        dx = bratios[:, None] * (lk[:, :, None] * l_innov).sum(axis=1)
         if not allow_extrapolation:
             dx = _anti_extrap_member(dx, l_innov, sel_valid)
         ok = jnp.any(sel_valid, axis=1) & jnp.all(jnp.isfinite(dx), axis=1)
