@@ -96,7 +96,9 @@ def _prep_input(x, h, by, rows, xpad, ny, nx):
 
 
 def _shapes(ny, nx, h, by=_BY):
-    by = min(by, max(8, ny))
+    # block height must be 8-sublane aligned: Mosaic requires output
+    # block indices provably divisible by the tiling
+    by = max(8, (min(by, max(8, ny)) // 8) * 8)
     outw = -(-nx // 128) * 128
     xpad = -(-(outw + 2 * h) // 128) * 128
     # 8-sublane-aligned DMA slice, +8 slack rows so the pad-free path
