@@ -264,6 +264,49 @@ def main():
         f"OI dense block B={b} P={p} S={s}", make_oi, bg,
         p1["x"], p1["y"], p1["z"], p1["elev"], p1["laf"]))
 
+    # tiled-OI general serving sweep (the Pipeline per-cycle re-solve):
+    # tile-union obs paging + batched solves, 512^2 grid, 4k obs
+    from gridpp_tpu.ops import oi_tiled as tiled_ops
+    n_t, p_t = 512, 4096
+    lats, lons = np.meshgrid(np.linspace(55, 60, n_t),
+                             np.linspace(5, 10, n_t), indexing="ij")
+    tgrid = gridpp.Grid(lats, lons)
+    tpts = gridpp.Points(rng.uniform(55, 60, p_t),
+                         rng.uniform(5, 10, p_t),
+                         np.zeros(p_t), np.zeros(p_t))
+    tpipe = gridpp.Pipeline(tgrid, tpts, gridpp.BarnesStructure(20000.0),
+                            halfwidth=0, max_points=10, tiled=True)
+    geom = tpipe._geom
+    gdev = tpipe._geom_dev
+    static_keys = tuple(geom.static_keys)
+    tobs_nn = tpipe._obs_nn
+    tstruct = tpipe.structure
+    tbg = rng.normal(280, 5, (n_t, n_t)).astype(np.float32)
+    tpobs = rng.normal(280, 5, p_t).astype(np.float32)
+    trat = np.full(p_t, 0.1, np.float32)
+
+    def make_tiled():
+        def fn(background, pobs, pratios, gd, obs_nn):
+            flat = background.reshape(-1)
+            pback = jnp.take(flat, obs_nn)
+            valid01 = (jnp.isfinite(pobs)
+                       & jnp.isfinite(pback)).astype(jnp.float32)
+            packed = jnp.stack(
+                [jnp.where(valid01 > 0, pobs, 0.0),
+                 jnp.where(valid01 > 0, pback, 0.0),
+                 pratios, valid01], axis=1)
+            bg_t = tiled_ops.tile_fields(background, geom)
+            out_t, _ = tiled_ops.oi_tiled_sweep(
+                tstruct, gd, static_keys, bg_t, jnp.ones_like(bg_t),
+                packed, 10, True)
+            return tiled_ops.untile_fields(out_t, geom).reshape(
+                background.shape)
+        return fn
+
+    rows.append(characterize(
+        f"OI tiled general sweep {n_t}^2 {p_t} obs S=10", make_tiled,
+        tbg, tpobs, trat, dict(gdev), np.asarray(tobs_nn)))
+
     _trace.close()
     if opts.trace:
         print(f"profiler trace written to {opts.trace}")
