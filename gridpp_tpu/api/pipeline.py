@@ -380,6 +380,12 @@ class EnsiPipeline:
             y_anom = jnp.where(fin & jnp.isfinite(y_hat)[:, None],
                                pback - y_hat[:, None], pback)
             obs_ok = jnp.isfinite(pobs)
+            # one packed per-obs table (see run_fast): a single
+            # (B, S, padw)-row gather replaces four obs-indexed gathers
+            padw = -(-(e + 3) // 8) * 8
+            tab = jnp.concatenate(
+                [pobs[:, None], psigmas[:, None], y_hat[:, None], y_anom,
+                 jnp.zeros((n_obs, padw - (e + 3)), jnp.float32)], axis=1)
             bg = pad_to(flat, jnp.nan).reshape(nb, block, e)
 
             def body(args):
@@ -390,13 +396,10 @@ class EnsiPipeline:
                 sel_valid = jnp.isfinite(vals)
                 l_rho = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
                 g = jnp.take_along_axis(selc, sub, axis=1)
-                l_obs = jnp.take(pobs, g, axis=0)
-                l_sig = jnp.take(psigmas, g, axis=0)
-                l_yhat = jnp.take(y_hat, g, axis=0)
-                l_y = jnp.take(y_anom, g, axis=0)  # (B, S, E)
+                f = jnp.take(tab, g, axis=0)  # (B, S, padw)
                 out, cond_bad = _ensi_update(
-                    struct, sel_valid, l_rho, l_obs, l_sig, l_y, l_yhat,
-                    bgc, allow)
+                    struct, sel_valid, l_rho, f[:, :, 0], f[:, :, 1],
+                    f[:, :, 3:3 + e], f[:, :, 2], bgc, allow)
                 return out, cond_bad
 
             out, cond_bad = jax.lax.map(body, (sel_c, rho_c, val_c, bg))
