@@ -211,7 +211,10 @@ class CalibratorDeaccumulate(Calibrator):
         window = self.options.get("window", 1, int)
         field = ofile.get_field(self.variable)
         out = np.full_like(field, np.nan)
-        if field.shape[0] > window:
+        if window <= 0:
+            # acc[t] - acc[t-0]: zeros (NaN where the endpoint is missing)
+            out[:] = field - field
+        elif field.shape[0] > window:
             out[window:] = field[window:] - field[:-window]
         ofile.add_field(self.variable, out.astype(np.float32))
 

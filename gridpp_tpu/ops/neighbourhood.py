@@ -21,7 +21,7 @@ are jittable; halfwidth/statistic are static.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,25 @@ __all__ = [
     "neighbourhood", "neighbourhood_brute_force", "neighbourhood_quantile",
     "neighbourhood_quantile_fast", "interp_quantile_from_cdf",
 ]
+
+
+def _vmap_fallback(pallas_fn, xla_fn):
+    """Wrap a 2-D-only Pallas op so jax.vmap falls back to the XLA path.
+
+    pallas_call with untiled (ANY-space) operands cannot be batched by
+    Mosaic; a custom_vmap rule reroutes any batched call to the XLA
+    stencil (vmapped per the actual batched axes), so user vmap over the
+    2-D API composes instead of failing to lower.
+    """
+    f = jax.custom_batching.custom_vmap(pallas_fn)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        axes = tuple(0 if b else None for b in jax.tree_util.tree_leaves(
+            in_batched))
+        return jax.vmap(xla_fn, in_axes=axes)(*args), True
+
+    return f
 
 
 def _reduce_window_2d(x, h: int, op, init):
@@ -90,21 +109,23 @@ def neighbourhood(input: jax.Array, halfwidth: int, statistic: int):
     """
     statistic = int(statistic)
     h = int(halfwidth)
-    if input.ndim == 2 and h > 0:
+    if input.ndim == 2 and h > 0 and statistic in (
+            Statistic.Mean, Statistic.Sum, Statistic.Count,
+            Statistic.Min, Statistic.Max):
         # Fused Pallas kernels on TPU (single HBM read + write; the
         # XLA reduce_window path below runs the separable passes as
-        # HBM-level sweeps). 2-D only: batched/vmapped callers (the
+        # HBM-level sweeps). 2-D only: batched callers (the
         # quantile_fast threshold stack, EnsiPipeline's member vmap)
-        # keep the XLA stencil.
+        # and user jax.vmap (via the custom_vmap fallback) keep the
+        # XLA stencil.
         from . import pallas_stencil
-        if pallas_stencil.available():
-            if statistic in (Statistic.Mean, Statistic.Sum,
-                             Statistic.Count):
-                return pallas_stencil.neighbourhood_mean(input, h,
-                                                         statistic)
-            if statistic in (Statistic.Min, Statistic.Max):
-                return pallas_stencil.neighbourhood_minmax(input, h,
-                                                           statistic)
+        if pallas_stencil.use_pallas():
+            return _pallas_basic(h, statistic)(input)
+    return _xla_basic(input, h, statistic)
+
+
+def _xla_basic(input, h: int, statistic: int):
+    """The XLA reduce_window dispatch (all statistics)."""
     if statistic in (Statistic.Mean, Statistic.Sum, Statistic.Count):
         s = window_sum(input, h)
         c = window_count(input, h)
@@ -122,6 +143,23 @@ def neighbourhood(input: jax.Array, halfwidth: int, statistic: int):
         var = mean2 - mean * mean  # unclamped, like neighbourhood.cpp:211-235
         return jnp.sqrt(var) if statistic == Statistic.Std else var
     return neighbourhood_brute_force(input, h, statistic)
+
+
+@lru_cache(maxsize=None)
+def _pallas_basic(h: int, statistic: int):
+    """custom_vmap-wrapped Pallas dispatch for one (h, statistic)."""
+    from . import pallas_stencil
+    if statistic in (Statistic.Mean, Statistic.Sum, Statistic.Count):
+        def pfn(x):
+            return pallas_stencil.neighbourhood_mean(x, h, statistic)
+    else:
+        def pfn(x):
+            return pallas_stencil.neighbourhood_minmax(x, h, statistic)
+
+    def xfn(x):
+        return _xla_basic(x, h, statistic)
+
+    return _vmap_fallback(pfn, xfn)
 
 
 def _window_stack(x, h: int):
@@ -262,9 +300,31 @@ def neighbourhood_quantile_fast(input: jax.Array, quantile, halfwidth: int,
         # Fused Pallas kernel on TPU: the T CDF planes never leave VMEM
         # (one read of x, one write of the quantile field)
         from . import pallas_stencil
-        if pallas_stencil.available():
-            return pallas_stencil.neighbourhood_quantile_fast(
-                input, quantile, int(halfwidth), thresholds)
+        if pallas_stencil.use_pallas():
+            return _pallas_qf(int(halfwidth))(
+                input, jnp.asarray(quantile, jnp.float32), thresholds)
+    return _quantile_fast_xla(input, quantile, int(halfwidth), thresholds)
+
+
+@lru_cache(maxsize=None)
+def _pallas_qf(h: int):
+    """custom_vmap-wrapped fused quantile_fast kernel for halfwidth h."""
+    from . import pallas_stencil
+
+    def pfn(x, q, thr):
+        out = pallas_stencil.neighbourhood_quantile_fast(x, q, h, thr)
+        # non-finite q -> NaN, matching the XLA path's qs mask
+        return jnp.where(jnp.isfinite(q), out, jnp.nan)
+
+    def xfn(x, q, thr):
+        return _quantile_fast_xla(x, q, h, thr)
+
+    return _vmap_fallback(pfn, xfn)
+
+
+def _quantile_fast_xla(input, quantile, halfwidth: int, thresholds):
+    """XLA threshold-CDF path (also the vmap/ens/per-cell-q form)."""
+    ens = input.ndim == 3
     t = thresholds.shape[0]
     valid = jnp.isfinite(input)
     # (T, Y, X[, E]) indicator fractions per cell

@@ -54,12 +54,33 @@ _BY = 128  # output rows per program (bounds the VMEM working set)
 
 
 def available() -> bool:
+    """Pallas importable and this PROCESS has a TPU backend.
+
+    Capability only — says nothing about where the op being traced right
+    now will run. Dispatch gates must use use_pallas() instead.
+    """
     try:
         from jax.experimental import pallas as pl  # noqa: F401
         from jax.experimental.pallas import tpu as pltpu  # noqa: F401
     except ImportError:  # pragma: no cover
         return False
     return jax.default_backend() == "tpu"
+
+
+def use_pallas() -> bool:
+    """True when an op traced NOW will execute on the TPU backend.
+
+    The host-pinned parity API (api/_common.pin_host) traces under
+    `jax.default_device(cpu)` even on TPU machines; there pallas_call
+    fails with "Only interpret mode is supported on CPU backend", so the
+    gate must consult the actual execution target, not the process
+    default backend. jax.default_device is part of the jit trace-context
+    cache key, so host-pinned and device traces cache separately.
+    """
+    if not available():
+        return False
+    from ..api._common import on_host
+    return not on_host()
 
 
 def _pad_halo(x, h, by, rows, xpad):

@@ -374,6 +374,19 @@ class TestCalibratorDeaccumulateFixture:
             else:
                 assert got == pytest.approx(v), t
 
+    def test_1x1_window0(self):
+        # window=0: acc[t] - acc[t-0] = 0 (NaN where the field is missing)
+        from gridpp_tpu.client.schemes import CalibratorDeaccumulate
+        f = FileNetcdf(fx("1x1.nc"))
+        name = "air_temperature_2m"
+        before = f.get_field(name).copy()
+        CalibratorDeaccumulate(name, Options("window=0")).calibrate(f)
+        after = f.get_field(name)
+        assert after.shape == before.shape
+        finite = np.isfinite(before)
+        assert (after[finite] == 0).all()
+        assert np.isnan(after[~finite]).all()
+
     def test_1x1_default(self):
         from gridpp_tpu.client.schemes import CalibratorDeaccumulate
         f = FileNetcdf(fx("1x1.nc"))
