@@ -105,7 +105,11 @@ class Pipeline:
         sel, rho, valid = select(p1, obs_fields)
 
         self._static_w = None
-        self._init_ratios = None
+        # keep construction-time ratios as the default for cycles that
+        # don't pass pratios (the flat path has no static-weight table,
+        # so it serves them through the general solve)
+        self._init_ratios = (None if ratios is None
+                             else np.asarray(ratios, np.float32))
         if tiled is None:
             # tile tables win once the grid is large enough to amortize
             # the table build; tiny grids keep the flat path
@@ -276,8 +280,10 @@ class Pipeline:
                 return self._run_fast(background, pobs)
             pratios = self._init_ratios
         if pratios is None:
+            pratios = self._init_ratios
+        if pratios is None:
             raise ValueError("pratios required (Pipeline built without "
-                             "static ratios)")
+                             "ratios)")
         pratios = jnp.asarray(np.asarray(pratios, np.float32))
         return self._run(background, pobs, pratios)
 
