@@ -87,22 +87,41 @@ def _run_blocks(kernel, n, cand, mask, p1_all, o_fields, per_block_args,
     return np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
 
 
-def _validate_multi(bpoints_obj, points, bratios, pobs, pratios,
-                    pbackground, extra=()):
+def _validate_multi(bpoints_obj, points, n_ens, pobs, pratios,
+                    pbackground, extra=(), pobs_1d=False):
+    """Up-front shape validation (oi_ensi_multi.cpp:34-133, 329-420).
+
+    All malformed inputs raise ValueError (the reference throws
+    std::invalid_argument before touching any data), including wrong
+    ndim: ebe/ebesc take perturbed obs as (S, E), utem as (S,).
+    """
     if bpoints_obj.get_coordinate_type() != points.get_coordinate_type():
         raise ValueError(
             "Both background and observations points must be of same "
             "coorindate type (lat/lon or x/y)")
     ns = points.size()
-    if pobs.shape[0] != ns:
-        raise ValueError("Observations and points exception mismatch")
-    if pratios.shape[0] != ns:
-        raise ValueError("Pratios and points size mismatch")
-    if pbackground.shape[0] != ns:
-        raise ValueError("Background and points size mismatch")
+    if pobs_1d:
+        if pobs.ndim != 1 or pobs.shape[0] != ns:
+            raise ValueError(
+                f"Observations {pobs.shape} and points ({ns},) size "
+                "mismatch")
+    else:
+        if pobs.ndim != 2 or pobs.shape != (ns, n_ens):
+            raise ValueError(
+                f"Observations {pobs.shape} and points ({ns},{n_ens}) "
+                "size mismatch")
+    if pratios.ndim != 1 or pratios.shape[0] != ns:
+        raise ValueError(f"Ratios ({pratios.shape}) and points ({ns}) "
+                         "size mismatch")
+    if pbackground.ndim != 2 or pbackground.shape != (ns, n_ens):
+        raise ValueError(
+            f"Input pbackground field at observation location "
+            f"{pbackground.shape} and points ({ns},{n_ens}) size mismatch")
     for arr, name in extra:
-        if arr.shape[0] != ns:
-            raise ValueError(f"{name} and points size mismatch")
+        if arr.ndim != 2 or arr.shape != (ns, n_ens):
+            raise ValueError(f"Input {name} field at observation location "
+                             f"{arr.shape} and points ({ns},{n_ens}) size "
+                             "mismatch")
 
 
 def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
@@ -119,19 +138,22 @@ def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
     background_corr = asarray_f32(background_corr, "background_corr")
     bratios = asarray_f32(bratios, "bratios")
     pobs = asarray_f32(pobs, "pobs")
-    pratios = asarray_f32(pratios, "pratios").ravel()
+    pratios = asarray_f32(pratios, "pratios")
     pbackground = asarray_f32(pbackground, "pbackground")
     pbackground_corr = asarray_f32(pbackground_corr, "pbackground_corr")
     bpoints, flat_bg, is_grid = _flatten_grid(bgrid, background,
                                               "background")
     _, flat_bgc, _ = _flatten_grid(bgrid, background_corr,
                                    "background_corr")
+    n, n_ens = flat_bg.shape
+    if flat_bgc.shape != flat_bg.shape:
+        raise ValueError("Input background_corr field is not the same "
+                         "size as the grid")
     flat_ratios = bratios.ravel()
     if flat_ratios.shape[0] != bpoints.size():
         raise ValueError("Bratios and grid size mismatch")
-    _validate_multi(bpoints, points, bratios, pobs, pratios, pbackground,
-                    [(pbackground_corr, "Background_corr")])
-    n, n_ens = flat_bg.shape
+    _validate_multi(bpoints, points, n_ens, pobs, pratios, pbackground,
+                    [(pbackground_corr, "pbackground_corr")])
     output = flat_bg.copy()
     if points.size() == 0 or n_ens == 0:
         return output.reshape(background.shape)
@@ -188,15 +210,15 @@ def optimal_interpolation_ensi_multi_ebesc(bgrid, bratios, background,
     background = asarray_f32(background)
     bratios = asarray_f32(bratios, "bratios")
     pobs = asarray_f32(pobs, "pobs")
-    pratios = asarray_f32(pratios, "pratios").ravel()
+    pratios = asarray_f32(pratios, "pratios")
     pbackground = asarray_f32(pbackground, "pbackground")
     bpoints, flat_bg, is_grid = _flatten_grid(bgrid, background,
                                               "background")
+    n, n_ens = flat_bg.shape
     flat_ratios = bratios.ravel()
     if flat_ratios.shape[0] != bpoints.size():
         raise ValueError("Bratios and grid size mismatch")
-    _validate_multi(bpoints, points, bratios, pobs, pratios, pbackground)
-    n, n_ens = flat_bg.shape
+    _validate_multi(bpoints, points, n_ens, pobs, pratios, pbackground)
     output = flat_bg.copy()
     if points.size() == 0 or n_ens == 0:
         return output.reshape(background.shape)
@@ -243,20 +265,24 @@ def optimal_interpolation_ensi_multi_utem(bgrid, bratios, background,
     background = asarray_f32(background)
     background_corr = asarray_f32(background_corr, "background_corr")
     bratios = asarray_f32(bratios, "bratios")
-    pobs = asarray_f32(pobs, "pobs").ravel()
-    pratios = asarray_f32(pratios, "pratios").ravel()
+    pobs = asarray_f32(pobs, "pobs")
+    pratios = asarray_f32(pratios, "pratios")
     pbackground = asarray_f32(pbackground, "pbackground")
     pbackground_corr = asarray_f32(pbackground_corr, "pbackground_corr")
     bpoints, flat_bg, is_grid = _flatten_grid(bgrid, background,
                                               "background")
     _, flat_bgc, _ = _flatten_grid(bgrid, background_corr,
                                    "background_corr")
+    n, n_ens = flat_bg.shape
+    if flat_bgc.shape != flat_bg.shape:
+        raise ValueError("Input background_corr field is not the same "
+                         "size as the grid")
     flat_ratios = bratios.ravel()
     if flat_ratios.shape[0] != bpoints.size():
         raise ValueError("Bratios and grid size mismatch")
-    _validate_multi(bpoints, points, bratios, pobs[:, None], pratios,
-                    pbackground, [(pbackground_corr, "Background_corr")])
-    n, n_ens = flat_bg.shape
+    _validate_multi(bpoints, points, n_ens, pobs, pratios, pbackground,
+                    [(pbackground_corr, "pbackground_corr")],
+                    pobs_1d=True)
     output = flat_bg.copy()
     if points.size() == 0 or n_ens == 0:
         return output.reshape(background.shape)

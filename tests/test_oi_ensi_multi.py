@@ -159,3 +159,141 @@ class TestUtem:
             bpoints, bratios, background, bg_corr, empty, np.zeros(0),
             np.zeros(0), np.zeros((0, 6)), np.zeros((0, 6)), structure, 10)
         np.testing.assert_array_equal(out, background)
+
+
+class TestInvalidArgumentSweeps:
+    """ok_args sweeps matching oi_ensi_multi.cpp:34-133 (grid form) and
+    329-420/629-700/862-960 (points form) up-front validation: every
+    malformed input raises ValueError (not IndexError/broadcast errors)."""
+
+    E = 4
+
+    def grid_args(self):
+        e = self.E
+        lats, lons = np.meshgrid([0.0, 1000.0, 2000.0], [0.0, 1000.0],
+                                 indexing="ij")
+        grid = gridpp.Grid(lats, lons, np.zeros((3, 2)), np.zeros((3, 2)),
+                           gridpp.Cartesian)
+        import collections
+        return collections.OrderedDict({
+            "bgrid": grid,
+            "bratios": np.ones((3, 2), np.float32),
+            "background": np.zeros((3, 2, e), np.float32),
+            "background_corr": np.ones((3, 2, e), np.float32),
+            "points": gridpp.Points([0.0], [0.0], [0], [0],
+                                    gridpp.Cartesian),
+            "pobs": np.ones((1, e), np.float32),
+            "pratios": np.full(1, 0.1, np.float32),
+            "pbackground": np.zeros((1, e), np.float32),
+            "pbackground_corr": np.ones((1, e), np.float32),
+            "structure": gridpp.BarnesStructure(2500.0),
+            "max_points": 10,
+        })
+
+    def points_args(self):
+        e = self.E
+        import collections
+        bpoints = gridpp.Points([0.0, 1000.0, 2000.0], [0, 0, 0],
+                                [0, 0, 0], [0, 0, 0], gridpp.Cartesian)
+        return collections.OrderedDict({
+            "bgrid": bpoints,
+            "bratios": np.ones(3, np.float32),
+            "background": np.zeros((3, e), np.float32),
+            "background_corr": np.ones((3, e), np.float32),
+            "points": gridpp.Points([0.0], [0.0], [0], [0],
+                                    gridpp.Cartesian),
+            "pobs": np.ones((1, e), np.float32),
+            "pratios": np.full(1, 0.1, np.float32),
+            "pbackground": np.zeros((1, e), np.float32),
+            "pbackground_corr": np.ones((1, e), np.float32),
+            "structure": gridpp.BarnesStructure(2500.0),
+            "max_points": 10,
+        })
+
+    def invalid(self, grid_form):
+        e = self.E
+        bad_bg = ([np.zeros((4, 2, e)), np.zeros((3, 3, e)),
+                   np.zeros((3, 2))] if grid_form else
+                  [np.zeros((4, e)), np.zeros(3)])
+        return {
+            "background": bad_bg,
+            "background_corr": bad_bg,
+            "bratios": ([np.ones((4, 2)), np.ones((3, 3))] if grid_form
+                        else [np.ones(4)]),
+            "points": [gridpp.Points([0.0], [0.0]),  # geodetic mismatch
+                       gridpp.Points([0, 1000.0], [0, 0], [0, 0], [0, 0],
+                                     gridpp.Cartesian)],
+            "pobs": [np.ones(1, np.float32),          # 1-D (r3: IndexError)
+                     np.ones((2, e), np.float32),     # wrong S
+                     np.ones((1, e + 1), np.float32)],  # wrong E
+            "pratios": [np.full(2, 0.1), np.full((1, 1), 0.1)],
+            "pbackground": [np.zeros((2, e)), np.zeros(e),
+                            np.zeros((1, e + 1))],
+            "pbackground_corr": [np.zeros((2, e)), np.zeros(e),
+                                 np.zeros((1, e + 1))],
+            "max_points": [-1],
+        }
+
+    def sweep(self, fn, ok, drop=(), pobs_1d=False):
+        invalid = self.invalid(grid_form=not isinstance(
+            ok["bgrid"], gridpp.Points))
+        for key in drop:
+            invalid.pop(key, None)
+        if pobs_1d:
+            invalid["pobs"] = [np.ones((1, self.E), np.float32),
+                               np.ones(2, np.float32)]
+        for key, bads in invalid.items():
+            for bad in bads:
+                args = ok.copy()
+                args[key] = bad
+                for name in drop:
+                    args.pop(name, None)
+                with pytest.raises(ValueError, match="."):
+                    fn(*args.values())
+
+    def test_ebe_grid(self):
+        self.sweep(gridpp.optimal_interpolation_ensi_multi_ebe,
+                   self.grid_args())
+
+    def test_ebe_points(self):
+        self.sweep(gridpp.optimal_interpolation_ensi_multi_ebe,
+                   self.points_args())
+
+    def test_ebesc_grid(self):
+        ok = self.grid_args()
+        self.sweep(gridpp.optimal_interpolation_ensi_multi_ebesc, ok,
+                   drop=("background_corr", "pbackground_corr"))
+
+    def test_ebesc_points(self):
+        self.sweep(gridpp.optimal_interpolation_ensi_multi_ebesc,
+                   self.points_args(),
+                   drop=("background_corr", "pbackground_corr"))
+
+    def test_utem_grid(self):
+        ok = self.grid_args()
+        ok["pobs"] = np.ones(1, np.float32)  # utem: scalar obs per point
+        self.sweep(gridpp.optimal_interpolation_ensi_multi_utem, ok,
+                   pobs_1d=True)
+
+    def test_utem_points(self):
+        ok = self.points_args()
+        ok["pobs"] = np.ones(1, np.float32)
+        self.sweep(gridpp.optimal_interpolation_ensi_multi_utem, ok,
+                   pobs_1d=True)
+
+    def test_ok_args_actually_ok(self):
+        g = self.grid_args()
+        out = gridpp.optimal_interpolation_ensi_multi_ebe(*g.values())
+        assert out.shape == (3, 2, self.E)
+        p = self.points_args()
+        out = gridpp.optimal_interpolation_ensi_multi_ebe(*p.values())
+        assert out.shape == (3, self.E)
+        g = self.grid_args()
+        g.pop("background_corr")
+        g.pop("pbackground_corr")
+        out = gridpp.optimal_interpolation_ensi_multi_ebesc(*g.values())
+        assert out.shape == (3, 2, self.E)
+        g = self.grid_args()
+        g["pobs"] = np.ones(1, np.float32)
+        out = gridpp.optimal_interpolation_ensi_multi_utem(*g.values())
+        assert out.shape == (3, 2, self.E)
