@@ -62,7 +62,9 @@ from .api.masking import (  # noqa: F401
 )
 from .api.search import neighbourhood_search, smart, staticcorr_points  # noqa: F401
 from .api.ldc import local_distribution_correction  # noqa: F401
-from .api.pipeline import EnsiPipeline, Pipeline  # noqa: F401
+from .api.pipeline import (  # noqa: F401
+    EnsiPipeline, MultiEnsiPipeline, Pipeline,
+)
 from .api.verif import (  # noqa: F401
     neighbourhood_score, test_array, test_ivec2_output, test_ivec3_output,
     test_ivec_input, test_ivec_output, test_not_implemented_exception,

@@ -35,7 +35,7 @@ from ..ops.oi_ensi import _ensi_update
 from ..ops import oi_tiled as tiled_ops
 from .oi import _device_fields, _origin, _resolved_fields
 
-__all__ = ["Pipeline", "EnsiPipeline"]
+__all__ = ["Pipeline", "EnsiPipeline", "MultiEnsiPipeline"]
 
 
 class Pipeline:
@@ -486,4 +486,166 @@ class EnsiPipeline:
                      and np.isfinite(ps_np).all())
         out, _ = self.run_device(jnp.asarray(bg_np), jnp.asarray(po_np),
                                  jnp.asarray(ps_np), assume_valid=valid)
+        return np.asarray(out)
+
+
+class MultiEnsiPipeline:
+    """Device serving path for the ensi_multi family (ebe/ebesc/utem).
+
+    Same shortlist design as EnsiPipeline: the per-gridpoint top-rho
+    candidate selection (the radius query + top-k of
+    oi_ensi_multi.cpp:446-523) is computed ONCE on device at
+    construction; each forecast cycle uploads only the member fields and
+    obs vectors, masks candidates with invalid obs, re-selects the top
+    max_points and runs the batch-last member/ETKF update
+    (ops/oi_ensi_multi.make_member_serve_sweep / make_utem_serve_sweep).
+    pbackground (and pbackground_corr) at the obs points are gathered on
+    device from the background via the cached nearest map.
+
+    Matches the host API (optimal_interpolation_ensi_multi_*) when every
+    member is valid at every gridpoint and >= max_points shortlist
+    candidates carry valid obs.
+    """
+
+    def __init__(self, grid: Grid, points: Points, structure,
+                 variant: str = "ebesc", max_points: int = 10,
+                 allow_extrapolation: bool = True, block: int = 16384,
+                 candidates: int | None = None, bratios=None):
+        from ..ops import oi_ensi_multi as mops
+
+        if variant not in ("ebe", "ebesc", "utem"):
+            raise ValueError("variant must be one of ebe/ebesc/utem")
+        self.variant = variant
+        self.grid = grid
+        self.points = points
+        self.structure = structure
+        self.shape = tuple(grid.size())
+        bpoints = grid.to_points()
+        origin = _origin(bpoints)
+        p1 = _device_fields(bpoints, structure, origin)
+        obs_fields = _device_fields(points, structure, origin)
+        self._obs_nn = jnp.asarray(
+            grid.nearest_map(points.lats, points.lons, cache_obj=points))
+        n = self.shape[0] * self.shape[1]
+        self._n = n
+        n_obs = points.size()
+        max_points = int(max_points)
+        allow = bool(allow_extrapolation)
+        if candidates is None:
+            candidates = 2 * max_points if max_points > 0 else n_obs
+        k_cap = max(1, min(int(candidates), n_obs))
+        s_cap = min(max_points, k_cap) if max_points > 0 else k_cap
+
+        select = make_oi_select_sweep(structure, k_cap, block)
+        sel, rho, valid = select(p1, obs_fields)
+        nb = -(-n // block)
+        pad = nb * block - n
+
+        def pad_to(v, fill):
+            if not pad:
+                return v
+            return jnp.concatenate(
+                [v, jnp.full((pad,) + v.shape[1:], fill, v.dtype)])
+
+        self._cand = jax.block_until_ready((
+            pad_to(sel, 0).reshape(nb, block, k_cap),
+            pad_to(rho, 0).reshape(nb, block, k_cap),
+            pad_to(valid, False).reshape(nb, block, k_cap)))
+        if bratios is None:
+            br = jnp.ones(n, jnp.float32)
+        else:
+            br = jnp.asarray(np.asarray(bratios, np.float32).reshape(-1))
+            if br.shape[0] != n:
+                raise ValueError("Bratios and grid size mismatch")
+        self._bratios = br
+        self._field_keys = tuple(obs_fields)
+        self._obs_tab_fields = jnp.stack(
+            [obs_fields[k] for k in self._field_keys], axis=1)  # (P, F)
+        f = len(self._field_keys)
+        obs_nn = self._obs_nn
+        shape = self.shape
+
+        if variant == "utem":
+            sweep = mops.make_utem_serve_sweep(structure, s_cap, block,
+                                               allow)
+
+            @jax.jit
+            def cycle(bg3, bgc3, pobs, pratios, cand, br_d):
+                e = bg3.shape[-1]
+                bg = bg3.reshape(n, e)
+                bgc = bgc3.reshape(n, e)
+                pback = jnp.take(bg, obs_nn, axis=0)     # (P, E)
+                pbackc = jnp.take(bgc, obs_nn, axis=0)
+                y_hat = jnp.mean(pback, axis=1)
+                y_anom = jnp.where(jnp.isfinite(y_hat)[:, None],
+                                   pback - y_hat[:, None], 0.0)
+                y_corr = mops.norm_anom_jnp(pbackc)
+                w = 3 + 2 * e
+                padw = -(-w // 8) * 8
+                tab = jnp.concatenate(
+                    [pobs[:, None], pratios[:, None], y_hat[:, None],
+                     y_anom, y_corr,
+                     jnp.zeros((n_obs, padw - w), jnp.float32)], axis=1)
+                obs_ok = jnp.isfinite(pobs)
+                out, cond_bad = sweep(bg, bgc, br_d, tab, obs_ok, *cand)
+                return out.reshape(shape + (e,)), cond_bad
+
+            self._cycle = cycle
+        else:
+            use_z = variant == "ebe"
+            sweep = mops.make_member_serve_sweep(
+                structure, self._field_keys, s_cap, block, allow, use_z)
+            tabf = self._obs_tab_fields
+
+            @jax.jit
+            def cycle(bg3, bgc3, pobs, pratios, cand, br_d):
+                e = bg3.shape[-1]
+                bg = bg3.reshape(n, e)
+                pback = jnp.take(bg, obs_nn, axis=0)   # (P, E)
+                innov = pobs - pback
+                cols = [tabf, pratios[:, None], innov]
+                if use_z:
+                    bgc = bgc3.reshape(n, e)
+                    x_l = mops.norm_anom_jnp(bgc)
+                    z_r = mops.norm_anom_jnp(
+                        jnp.take(bgc, obs_nn, axis=0))
+                    cols.append(z_r)
+                else:
+                    x_l = jnp.zeros((1, 1), jnp.float32)
+                w = f + 1 + (2 if use_z else 1) * e
+                padw = -(-w // 8) * 8
+                cols.append(jnp.zeros((n_obs, padw - w), jnp.float32))
+                tab = jnp.concatenate(cols, axis=1)
+                obs_ok = jnp.isfinite(pobs[:, 0])
+                out = sweep(bg, br_d, x_l, tab, obs_ok, *cand)
+                return out.reshape(shape + (e,)), jnp.int32(0)
+
+            self._cycle = cycle
+
+    def run_device(self, background, pobs, pratios, background_corr=None):
+        """One cycle, device-to-device.
+
+        background: (Y, X, E). pobs: (P, E) for ebe/ebesc, (P,) for utem.
+        pratios: (P,). background_corr: (Y, X, E), required for ebe and
+        utem (the dynamic-correlation ensemble); ignored for ebesc.
+        Returns (analysis (Y, X, E), n_condition_failures device scalar).
+        """
+        if self.variant in ("ebe", "utem"):
+            if background_corr is None:
+                raise ValueError(
+                    f"background_corr required for {self.variant}")
+            bgc = background_corr
+        else:
+            bgc = background
+        return self._cycle(background, bgc, pobs, pratios, self._cand,
+                           self._bratios)
+
+    def __call__(self, background, pobs, pratios, background_corr=None):
+        """numpy convenience wrapper (one upload, one download)."""
+        out, _ = self.run_device(
+            jnp.asarray(np.asarray(background, np.float32)),
+            jnp.asarray(np.asarray(pobs, np.float32)),
+            jnp.asarray(np.asarray(pratios, np.float32)),
+            None if background_corr is None else
+            jnp.asarray(np.asarray(background_corr, np.float32)))
         return np.asarray(out)

@@ -19,11 +19,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .oi import _gj_solve_batch_last
 from .oi_ensi import _inv_sqrt_ns_m, _mm, _mv
 
-__all__ = ["make_ebe_kernel", "make_ebesc_kernel", "make_utem_kernel"]
+__all__ = ["make_ebe_kernel", "make_ebesc_kernel", "make_utem_kernel",
+           "make_member_serve_sweep", "make_utem_serve_sweep",
+           "norm_anom_jnp"]
 
 DEFAULT_MIN_STD = 0.0013
+
+
+def norm_anom_jnp(arr):
+    """Device form of the normalized-anomaly transform
+    (oi_ensi_multi.cpp:421-445): 1/sqrt(E-1) (v-mean)/std, zeroed for
+    tiny/invalid std. arr: (N, E) all members valid."""
+    e = arr.shape[1]
+    mean = jnp.mean(arr, axis=1)
+    std = jnp.std(arr, axis=1)
+    bad = ~jnp.isfinite(mean) | ~jnp.isfinite(std) | (std <= DEFAULT_MIN_STD)
+    denom = jnp.where(std == 0, 1, std)
+    out = (arr - mean[:, None]) / denom[:, None] / np.sqrt(max(e - 1, 1))
+    return jnp.where(bad[:, None], 0.0, out).astype(jnp.float32)
 
 
 def _select(structure, p1_fields, cand_fields, cand_valid, max_points, k):
@@ -59,6 +75,73 @@ def _anti_extrap_member(dx, innov, sel_valid):
                                          jnp.where(c4, 0.0, dx))))
 
 
+def _member_update(structure, sel_fields, sel_valid, l_rho, l_r, l_innov,
+                   background, bratios, allow_extrapolation: bool,
+                   l_z=None, x_l=None):
+    """Shared ebe/ebesc tail in BATCH-LAST layout.
+
+    The (S, S) solve work keeps the small obs axes in sublanes and the
+    gridpoint batch in the 128-wide lanes (_gj_solve_batch_last): a
+    batched LAPACK solve on (B, 10, 10) pads the size-10 trailing axis
+    to 128 lanes and runs ~200x slower on v5e (see ops/oi.py:39-56).
+
+    sel_fields: dict (B, S); sel_valid/l_rho/l_r: (B, S);
+    l_innov: (B, S, E) member innovations (masked rows zeroed);
+    background: (B, E); bratios: (B,).
+    ebe passes l_z (B, S, E) normalized obs anomalies + x_l (B, E)
+    normalized gridpoint anomalies: pair corr = localization o (z z^T)
+    and the numerator row = rho o (x_l . z^T) (oi_ensi_multi.cpp:
+    524-579); ebesc (629-860) uses the structure correlations directly.
+    """
+    s_cap = l_rho.shape[1]
+    ft = {key: v.T for key, v in sel_fields.items()}  # (S, B)
+    pi = {key: v[:, None, :] for key, v in ft.items()}
+    pj = {key: v[None, :, :] for key, v in ft.items()}
+    loc = structure.corr_jnp(pi, pj).astype(jnp.float32)  # (S, S, B)
+
+    sv = sel_valid.T  # (S, B)
+    in_m = jnp.moveaxis(l_innov, 0, 2)  # (S, E, B)
+    if l_z is None:
+        num = jnp.where(sv, l_rho.T, 0.0).astype(jnp.float32)
+        pair = loc
+    else:
+        # Explicit multiply+reduce, not dot_general: the MXU's default
+        # bf16 operand rounding costs ~1e-2 relative error and breaks
+        # the symmetry of r_rr feeding the solve (see ops/oi_ensi).
+        z_m = jnp.moveaxis(l_z, 0, 2)  # (S, E, B)
+        xl_m = x_l.T  # (E, B)
+        num = jnp.where(sv, l_rho.T * (z_m * xl_m[None]).sum(axis=1),
+                        0.0).astype(jnp.float32)
+        pair = loc * (z_m[:, None] * z_m[None, :]).sum(axis=2)
+
+    pair_valid = sv[:, None, :] & sv[None, :, :]
+    eye = jnp.eye(s_cap, dtype=jnp.float32)[:, :, None]
+    ridge = jnp.where(sv, l_r.T, 1.0)[:, None, :] * eye
+    a_mat = jnp.where(pair_valid, pair, 0.0) + ridge
+    a_mat = jnp.where(pair_valid | (eye > 0), a_mat, 0.0)
+    lk = _gj_solve_batch_last(a_mat, num)  # (S, B)
+
+    dx_m = bratios[None, :] * (lk[:, None, :] * in_m).sum(axis=0)  # (E, B)
+    if not allow_extrapolation:
+        # member-wise clamp (oi_ensi_multi.cpp:583-607), batch-last
+        big = jnp.float32(np.inf)
+        masked = jnp.where(sv[:, None, :], in_m, jnp.nan)
+        max_inc = jnp.max(jnp.where(jnp.isnan(masked), -big, masked),
+                          axis=0)  # (E, B)
+        min_inc = jnp.min(jnp.where(jnp.isnan(masked), big, masked),
+                          axis=0)
+        c1 = (max_inc > 0) & (dx_m > max_inc)
+        c2 = ~c1 & (max_inc < 0) & (dx_m > 0)
+        c3 = ~c1 & ~c2 & (min_inc < 0) & (dx_m < min_inc)
+        c4 = ~c1 & ~c2 & ~c3 & (min_inc > 0) & (dx_m < 0)
+        dx_m = jnp.where(c1, max_inc,
+                         jnp.where(c2, 0.0,
+                                   jnp.where(c3, min_inc,
+                                             jnp.where(c4, 0.0, dx_m))))
+    ok = jnp.any(sv, axis=0) & jnp.all(jnp.isfinite(dx_m), axis=0)
+    return jnp.where(ok[:, None], background + dx_m.T, background)
+
+
 def make_ebe_kernel(structure, max_points: int, allow_extrapolation: bool):
     cache = structure.__dict__.setdefault("_ebe_kernel_cache", {})
     key = (int(max_points), bool(allow_extrapolation))
@@ -80,27 +163,9 @@ def make_ebe_kernel(structure, max_points: int, allow_extrapolation: bool):
         l_z = jnp.take_along_axis(z_r, sel[:, :, None], axis=1)  # (B,S,E)
         l_innov = jnp.take_along_axis(innov, sel[:, :, None], axis=1)
         l_innov = jnp.where(sel_valid[:, :, None], l_innov, 0.0)
-
-        loc2d = _pair_corr(structure, sel_fields)  # (B, S, S)
-        pair_valid = sel_valid[:, :, None] & sel_valid[:, None, :]
-        s_cap = loc2d.shape[1]
-        eye = jnp.eye(s_cap, dtype=jnp.float32)
-        # lr_lr = loc1d o (x_l . z_r^T); lR_rr = loc2d o (z_r z_r^T).
-        # Explicit multiply+reduce, not einsum: the MXU's default bf16
-        # operand rounding costs ~1e-2 relative error and breaks the
-        # symmetry of r_rr feeding the solve (see ops/oi_ensi).
-        lr_lr = l_rho * (x_l[:, None, :] * l_z).sum(axis=2)
-        r_rr = loc2d * (l_z[:, :, None, :] * l_z[:, None, :, :]).sum(-1)
-        a_mat = jnp.where(pair_valid, r_rr, 0.0) + \
-            jnp.where(sel_valid, l_r, 1.0)[:, :, None] * eye
-        a_mat = jnp.where(pair_valid | (eye > 0), a_mat, 0.0)
-        lk = jnp.linalg.solve(a_mat, jnp.where(sel_valid, lr_lr,
-                                               0.0)[:, :, None])[:, :, 0]
-        dx = bratios[:, None] * (lk[:, :, None] * l_innov).sum(axis=1)
-        if not allow_extrapolation:
-            dx = _anti_extrap_member(dx, l_innov, sel_valid)
-        ok = jnp.any(sel_valid, axis=1) & jnp.all(jnp.isfinite(dx), axis=1)
-        return jnp.where(ok[:, None], background + dx, background)
+        return _member_update(structure, sel_fields, sel_valid, l_rho,
+                              l_r, l_innov, background, bratios,
+                              allow_extrapolation, l_z=l_z, x_l=x_l)
 
     cache[key] = kernel
     return kernel
@@ -124,20 +189,9 @@ def make_ebesc_kernel(structure, max_points: int, allow_extrapolation: bool):
         l_r = jnp.take_along_axis(pratios, sel, axis=1)
         l_innov = jnp.take_along_axis(innov, sel[:, :, None], axis=1)
         l_innov = jnp.where(sel_valid[:, :, None], l_innov, 0.0)
-        corr2d = _pair_corr(structure, sel_fields)
-        pair_valid = sel_valid[:, :, None] & sel_valid[:, None, :]
-        s_cap = corr2d.shape[1]
-        eye = jnp.eye(s_cap, dtype=jnp.float32)
-        a_mat = jnp.where(pair_valid, corr2d, 0.0) + \
-            jnp.where(sel_valid, l_r, 1.0)[:, :, None] * eye
-        a_mat = jnp.where(pair_valid | (eye > 0), a_mat, 0.0)
-        lk = jnp.linalg.solve(a_mat, jnp.where(sel_valid, l_rho,
-                                               0.0)[:, :, None])[:, :, 0]
-        dx = bratios[:, None] * (lk[:, :, None] * l_innov).sum(axis=1)
-        if not allow_extrapolation:
-            dx = _anti_extrap_member(dx, l_innov, sel_valid)
-        ok = jnp.any(sel_valid, axis=1) & jnp.all(jnp.isfinite(dx), axis=1)
-        return jnp.where(ok[:, None], background + dx, background)
+        return _member_update(structure, sel_fields, sel_valid, l_rho,
+                              l_r, l_innov, background, bratios,
+                              allow_extrapolation)
 
     cache[key] = kernel
     return kernel
@@ -155,7 +209,6 @@ def make_utem_kernel(structure, max_points: int, allow_extrapolation: bool):
                y_hat):
         """background/background_corr: (B, E); obs/pratios: (B, K);
         y_anom/y_corr: (B, K, E); y_hat: (B, K)."""
-        b, e = background.shape
         k = pratios.shape[1]
         sel, sel_valid, l_rho = _select(structure, p1_fields, cand_fields,
                                         cand_valid, max_points, k)
@@ -164,78 +217,214 @@ def make_utem_kernel(structure, max_points: int, allow_extrapolation: bool):
         l_yhat = jnp.take_along_axis(y_hat, sel, axis=1)
         l_y = jnp.take_along_axis(y_anom, sel[:, :, None], axis=1)
         l_yc = jnp.take_along_axis(y_corr, sel[:, :, None], axis=1)
+        return _utem_core(sel_valid, l_rho, l_obs, l_r, l_yhat, l_y, l_yc,
+                          background, background_corr, bratios,
+                          allow_extrapolation)
 
-        rinv = jnp.where(sel_valid, l_rho / l_r, 0.0)
-        # batch-minor exact-f32 VPU forms + symmetrize: the MXU's
-        # default bf16 rounding makes a dot_general product asymmetric
-        # and Newton-Schulz diverges on non-symmetric input
-        # (see ops/oi_ensi._ensi_update)
-        yc_m = jnp.moveaxis(l_yc, 0, 2)                    # (S, E, B)
-        c_m = jnp.swapaxes(yc_m, 0, 1) \
-            * jnp.moveaxis(rinv, 0, 1)[None]               # (E, S, B)
-        pinv_m = _mm(c_m, yc_m)
-        pinv_m = 0.5 * (pinv_m + jnp.swapaxes(pinv_m, 0, 1)) \
-            + jnp.eye(e, dtype=jnp.float32)[:, :, None]
-        # Coupled Newton-Schulz inverse sqrt (ops/oi_ensi._inv_sqrt_ns)
-        # instead of batched eigh: gives W = sqrt((E-1) Pinv^{-1}) and
-        # P C innov. Pinv here is SPD with lambda_min >= 1 by
-        # construction, so the reference's `rcond <= 0` guard
-        # (oi_ensi_multi.cpp:1106-1121: keep raw background + count a
-        # warning) can only trigger on non-finite input; mirror it with
-        # a finiteness check.
-        z, c_norm = _inv_sqrt_ns_m(pinv_m)  # z: (E, E, B) batch-minor
-        cond_ok = jnp.all(jnp.isfinite(pinv_m), axis=(0, 1)) \
-            & jnp.all(jnp.isfinite(z), axis=(0, 1))
-        innov = jnp.where(sel_valid, l_obs - l_yhat, 0.0)
-        cv = (c_m * jnp.moveaxis(innov, 0, 1)[None]).sum(axis=1).T
-        w_vec = _mv(z, _mv(z, cv)) / c_norm[:, None]
+    cache[key] = kernel
+    return kernel
 
-        ens_mean = jnp.mean(background, axis=1)
-        x = background - ens_mean[:, None]
-        ens_std = jnp.std(background, axis=1)  # population std
-        mean_corr = jnp.mean(background_corr, axis=1)
-        std_corr = jnp.std(background_corr, axis=1)
-        const_fact = 1.0 / np.sqrt(max(e - 1, 1))
-        x_corr = jnp.where(std_corr[:, None] <= DEFAULT_MIN_STD, 0.0,
-                           const_fact * (background_corr
-                                         - mean_corr[:, None])
-                           / jnp.where(std_corr[:, None] == 0, 1,
-                                       std_corr[:, None]))
-        # increment_e = sum_k x_corr_k (ensStd W + bratios w 1^T)(k,e)
-        # (oi_ensi_multi.cpp:1199-1204) with W = sqrt((E-1)/c) z
-        # symmetric - computed as matvecs, W never materialized.
-        increment = ens_std[:, None] \
-            * jnp.sqrt((e - 1) / c_norm)[:, None] * _mv(z, x_corr) \
-            + bratios[:, None] * jnp.sum(x_corr * w_vec, axis=1,
-                                         keepdims=True)
 
-        if not allow_extrapolation:
-            s = l_y.shape[1]
-            flat = jnp.reshape(jnp.swapaxes(l_y, 1, 2), (b, s * e))
-            e_idx = jnp.arange(e)
-            y_elem = flat[:, e_idx % (s * e)]
-            diff = jnp.where(sel_valid[:, :, None],
-                             (l_obs - l_yhat)[:, :, None]
-                             - y_elem[:, None, :], jnp.nan)
-            max_inc = jnp.max(jnp.where(jnp.isnan(diff), -jnp.inf, diff),
-                              axis=1)
-            min_inc = jnp.min(jnp.where(jnp.isnan(diff), jnp.inf, diff),
-                              axis=1)
-            member_inc = increment - x
-            c1 = (max_inc > 0) & (member_inc > max_inc)
-            c2 = ~c1 & (max_inc < 0) & (member_inc > 0)
-            c3 = ~c1 & ~c2 & (min_inc < 0) & (member_inc < min_inc)
-            c4 = ~c1 & ~c2 & ~c3 & (min_inc > 0) & (member_inc < 0)
-            increment = jnp.where(
-                c1, max_inc + x,
-                jnp.where(c2, x, jnp.where(c3, min_inc + x,
-                                           jnp.where(c4, x, increment))))
+def _utem_core(sel_valid, l_rho, l_obs, l_r, l_yhat, l_y, l_yc,
+               background, background_corr, bratios,
+               allow_extrapolation: bool):
+    """ETKF update tail (oi_ensi_multi.cpp:862-1311), shared by the host
+    kernel and the serving sweep. All inputs are post-selection:
+    sel_valid/l_rho/l_obs/l_r/l_yhat: (B, S); l_y/l_yc: (B, S, E);
+    background/background_corr: (B, E); bratios: (B,)."""
+    b, e = background.shape
+    rinv = jnp.where(sel_valid, l_rho / l_r, 0.0)
+    # batch-minor exact-f32 VPU forms + symmetrize: the MXU's
+    # default bf16 rounding makes a dot_general product asymmetric
+    # and Newton-Schulz diverges on non-symmetric input
+    # (see ops/oi_ensi._ensi_update)
+    yc_m = jnp.moveaxis(l_yc, 0, 2)                    # (S, E, B)
+    c_m = jnp.swapaxes(yc_m, 0, 1) \
+        * jnp.moveaxis(rinv, 0, 1)[None]               # (E, S, B)
+    pinv_m = _mm(c_m, yc_m)
+    pinv_m = 0.5 * (pinv_m + jnp.swapaxes(pinv_m, 0, 1)) \
+        + jnp.eye(e, dtype=jnp.float32)[:, :, None]
+    # Coupled Newton-Schulz inverse sqrt (ops/oi_ensi._inv_sqrt_ns)
+    # instead of batched eigh: gives W = sqrt((E-1) Pinv^{-1}) and
+    # P C innov. Pinv here is SPD with lambda_min >= 1 by
+    # construction, so the reference's `rcond <= 0` guard
+    # (oi_ensi_multi.cpp:1106-1121: keep raw background + count a
+    # warning) can only trigger on non-finite input; mirror it with
+    # a finiteness check.
+    z, c_norm = _inv_sqrt_ns_m(pinv_m)  # z: (E, E, B) batch-minor
+    cond_ok = jnp.all(jnp.isfinite(pinv_m), axis=(0, 1)) \
+        & jnp.all(jnp.isfinite(z), axis=(0, 1))
+    innov = jnp.where(sel_valid, l_obs - l_yhat, 0.0)
+    cv = (c_m * jnp.moveaxis(innov, 0, 1)[None]).sum(axis=1).T
+    w_vec = _mv(z, _mv(z, cv)) / c_norm[:, None]
 
-        analysis = ens_mean[:, None] + increment
-        any_valid = jnp.any(sel_valid, axis=1)
-        cond_bad = any_valid & ~cond_ok
-        ok = any_valid & cond_ok & jnp.all(jnp.isfinite(analysis), axis=1)
-        return jnp.where(ok[:, None], analysis, background), cond_bad
+    ens_mean = jnp.mean(background, axis=1)
+    x = background - ens_mean[:, None]
+    ens_std = jnp.std(background, axis=1)  # population std
+    mean_corr = jnp.mean(background_corr, axis=1)
+    std_corr = jnp.std(background_corr, axis=1)
+    const_fact = 1.0 / np.sqrt(max(e - 1, 1))
+    x_corr = jnp.where(std_corr[:, None] <= DEFAULT_MIN_STD, 0.0,
+                       const_fact * (background_corr
+                                     - mean_corr[:, None])
+                       / jnp.where(std_corr[:, None] == 0, 1,
+                                   std_corr[:, None]))
+    # increment_e = sum_k x_corr_k (ensStd W + bratios w 1^T)(k,e)
+    # (oi_ensi_multi.cpp:1199-1204) with W = sqrt((E-1)/c) z
+    # symmetric - computed as matvecs, W never materialized.
+    increment = ens_std[:, None] \
+        * jnp.sqrt((e - 1) / c_norm)[:, None] * _mv(z, x_corr) \
+        + bratios[:, None] * jnp.sum(x_corr * w_vec, axis=1,
+                                     keepdims=True)
+
+    if not allow_extrapolation:
+        s = l_y.shape[1]
+        flat = jnp.reshape(jnp.swapaxes(l_y, 1, 2), (b, s * e))
+        e_idx = jnp.arange(e)
+        y_elem = flat[:, e_idx % (s * e)]
+        diff = jnp.where(sel_valid[:, :, None],
+                         (l_obs - l_yhat)[:, :, None]
+                         - y_elem[:, None, :], jnp.nan)
+        max_inc = jnp.max(jnp.where(jnp.isnan(diff), -jnp.inf, diff),
+                          axis=1)
+        min_inc = jnp.min(jnp.where(jnp.isnan(diff), jnp.inf, diff),
+                          axis=1)
+        member_inc = increment - x
+        c1 = (max_inc > 0) & (member_inc > max_inc)
+        c2 = ~c1 & (max_inc < 0) & (member_inc > 0)
+        c3 = ~c1 & ~c2 & (min_inc < 0) & (member_inc < min_inc)
+        c4 = ~c1 & ~c2 & ~c3 & (min_inc > 0) & (member_inc < 0)
+        increment = jnp.where(
+            c1, max_inc + x,
+            jnp.where(c2, x, jnp.where(c3, min_inc + x,
+                                       jnp.where(c4, x, increment))))
+
+    analysis = ens_mean[:, None] + increment
+    any_valid = jnp.any(sel_valid, axis=1)
+    cond_bad = any_valid & ~cond_ok
+    ok = any_valid & cond_ok & jnp.all(jnp.isfinite(analysis), axis=1)
+    return jnp.where(ok[:, None], analysis, background), cond_bad
+
+
+def _kernel_cache(structure, name, key):
+    cache = structure.__dict__.setdefault(name, {})
+    return cache, cache.get(key)
+
+
+def make_member_serve_sweep(structure, field_keys, s_cap: int, block: int,
+                            allow_extrapolation: bool, use_z: bool):
+    """Whole-grid ebe/ebesc serving cycle from a cached shortlist.
+
+    The geometric candidate tables (sel/rho/valid, from
+    make_oi_select_sweep) are computed once per network; a cycle re-masks
+    them with this cycle's obs validity, re-selects the top max_points,
+    gathers ONE packed per-obs table row per selection (geometry fields +
+    pratios + member innovations [+ normalized anomalies for ebe]) and
+    runs the batch-last member update. tab columns:
+    [field_keys..., pratios, innov(E) {, z(E) when use_z}] (+ lane pad).
+    """
+    key = (tuple(field_keys), int(s_cap), int(block),
+           bool(allow_extrapolation), bool(use_z))
+    cache, hit = _kernel_cache(structure, "_member_serve_cache", key)
+    if hit is not None:
+        return hit
+    f = len(field_keys)
+
+    @jax.jit
+    def kernel(bg, bratios, x_l, tab, obs_ok, sel_c, rho_c, val_c):
+        n, e = bg.shape
+        nb, blk, k = sel_c.shape
+        pad = nb * blk - n
+
+        def pad_to(v, fill):
+            if not pad:
+                return v
+            return jnp.concatenate(
+                [v, jnp.full((pad,) + v.shape[1:], fill, v.dtype)])
+
+        bgp = pad_to(bg, jnp.nan).reshape(nb, blk, e)
+        brp = pad_to(bratios, 0.0).reshape(nb, blk)
+        if use_z:
+            xlp = pad_to(x_l, 0.0).reshape(nb, blk, e)
+        else:
+            xlp = jnp.zeros((nb, 1, 1), jnp.float32)
+
+        def body(args):
+            selc, rhoc, valc, bgc, brc, xlc = args
+            v = valc & jnp.take(obs_ok, selc, axis=0)
+            vals, sub = jax.lax.top_k(jnp.where(v, rhoc, -jnp.inf), s_cap)
+            sel_valid = jnp.isfinite(vals)
+            l_rho = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
+            g = jnp.take_along_axis(selc, sub, axis=1)
+            ftab = jnp.take(tab, g, axis=0)  # (B, S, W)
+            sel_fields = {key2: ftab[:, :, i]
+                          for i, key2 in enumerate(field_keys)}
+            l_r = ftab[:, :, f]
+            l_innov = jnp.where(sel_valid[:, :, None],
+                                ftab[:, :, f + 1:f + 1 + e], 0.0)
+            if use_z:
+                return _member_update(
+                    structure, sel_fields, sel_valid, l_rho, l_r, l_innov,
+                    bgc, brc, allow_extrapolation,
+                    l_z=ftab[:, :, f + 1 + e:f + 1 + 2 * e], x_l=xlc)
+            return _member_update(structure, sel_fields, sel_valid, l_rho,
+                                  l_r, l_innov, bgc, brc,
+                                  allow_extrapolation)
+
+        out = jax.lax.map(body, (sel_c, rho_c, val_c, bgp, brp, xlp))
+        return out.reshape(-1, e)[:n]
+
+    cache[key] = kernel
+    return kernel
+
+
+def make_utem_serve_sweep(structure, s_cap: int, block: int,
+                          allow_extrapolation: bool):
+    """Whole-grid utem serving cycle from a cached shortlist.
+
+    utem's update needs no pair-correlation geometry (Pinv comes from
+    the y_corr ensemble anomalies), so the packed per-obs table is
+    [obs, pratios, y_hat, y_anom(E), y_corr(E)] (+ lane pad).
+    Returns (analysis (N, E), n_condition_failures).
+    """
+    key = (int(s_cap), int(block), bool(allow_extrapolation))
+    cache, hit = _kernel_cache(structure, "_utem_serve_cache", key)
+    if hit is not None:
+        return hit
+
+    @jax.jit
+    def kernel(bg, bgc, bratios, tab, obs_ok, sel_c, rho_c, val_c):
+        n, e = bg.shape
+        nb, blk, k = sel_c.shape
+        pad = nb * blk - n
+
+        def pad_to(v, fill):
+            if not pad:
+                return v
+            return jnp.concatenate(
+                [v, jnp.full((pad,) + v.shape[1:], fill, v.dtype)])
+
+        bgp = pad_to(bg, jnp.nan).reshape(nb, blk, e)
+        bgcp = pad_to(bgc, jnp.nan).reshape(nb, blk, e)
+        brp = pad_to(bratios, 0.0).reshape(nb, blk)
+
+        def body(args):
+            selc, rhoc, valc, bg_b, bgc_b, br_b = args
+            v = valc & jnp.take(obs_ok, selc, axis=0)
+            vals, sub = jax.lax.top_k(jnp.where(v, rhoc, -jnp.inf), s_cap)
+            sel_valid = jnp.isfinite(vals)
+            l_rho = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
+            g = jnp.take_along_axis(selc, sub, axis=1)
+            ftab = jnp.take(tab, g, axis=0)  # (B, S, W)
+            return _utem_core(sel_valid, l_rho, ftab[:, :, 0],
+                              ftab[:, :, 1], ftab[:, :, 2],
+                              ftab[:, :, 3:3 + e],
+                              ftab[:, :, 3 + e:3 + 2 * e],
+                              bg_b, bgc_b, br_b, allow_extrapolation)
+
+        out, cond_bad = jax.lax.map(
+            body, (sel_c, rho_c, val_c, bgp, bgcp, brp))
+        return out.reshape(-1, e)[:n], jnp.sum(cond_bad.reshape(-1)[:n])
 
     cache[key] = kernel
     return kernel

@@ -297,3 +297,102 @@ class TestInvalidArgumentSweeps:
         g["pobs"] = np.ones(1, np.float32)
         out = gridpp.optimal_interpolation_ensi_multi_utem(*g.values())
         assert out.shape == (3, 2, self.E)
+
+
+class TestMultiEnsiPipeline:
+    """Device serving path (MultiEnsiPipeline) vs the host parity API.
+
+    The serving path gathers pbackground (and pbackground_corr) from the
+    background via the grid's nearest map, so the host API is called
+    with exactly those gathered values.
+    """
+
+    def _mk(self, seed=0, ny=12, nx=15, p=25, e=5):
+        rng = np.random.default_rng(seed)
+        lats, lons = np.meshgrid(np.linspace(55, 57, ny),
+                                 np.linspace(5, 7, nx), indexing="ij")
+        grid = gridpp.Grid(lats, lons)
+        points = gridpp.Points(rng.uniform(55.05, 56.95, p),
+                               rng.uniform(5.05, 6.95, p))
+        structure = gridpp.BarnesStructure(60000.0)
+        bg = rng.normal(280, 5, (ny, nx, e)).astype(np.float32)
+        bgc = (bg + rng.normal(0, 1, (ny, nx, e))).astype(np.float32)
+        nn = grid.nearest_map(points.lats, points.lons)
+        pback = bg.reshape(-1, e)[nn]
+        pbackc = bgc.reshape(-1, e)[nn]
+        pobs_e = (pback + rng.normal(0, 1, (p, e))).astype(np.float32)
+        pratios = np.full(p, 0.1, np.float32)
+        bratios = np.ones((ny, nx), np.float32)
+        return (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+                pratios, bratios)
+
+    @pytest.mark.parametrize("allow", [True, False])
+    def test_ebesc_parity(self, allow):
+        (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+         pratios, bratios) = self._mk()
+        host = gridpp.optimal_interpolation_ensi_multi_ebesc(
+            grid, bratios, bg, points, pobs_e, pratios, pback,
+            structure, 10, allow)
+        pipe = gridpp.MultiEnsiPipeline(grid, points, structure,
+                                        variant="ebesc", max_points=10,
+                                        allow_extrapolation=allow,
+                                        bratios=bratios)
+        dev = pipe(bg, pobs_e, pratios)
+        np.testing.assert_allclose(dev, host, atol=2e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("allow", [True, False])
+    def test_ebe_parity(self, allow):
+        (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+         pratios, bratios) = self._mk(seed=1)
+        host = gridpp.optimal_interpolation_ensi_multi_ebe(
+            grid, bratios, bg, bgc, points, pobs_e, pratios, pback,
+            pbackc, structure, 10, allow)
+        pipe = gridpp.MultiEnsiPipeline(grid, points, structure,
+                                        variant="ebe", max_points=10,
+                                        allow_extrapolation=allow,
+                                        bratios=bratios)
+        dev = pipe(bg, pobs_e, pratios, background_corr=bgc)
+        np.testing.assert_allclose(dev, host, atol=2e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("allow", [True, False])
+    def test_utem_parity(self, allow):
+        (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+         pratios, bratios) = self._mk(seed=2)
+        pobs = pobs_e[:, 0].copy()
+        host = gridpp.optimal_interpolation_ensi_multi_utem(
+            grid, bratios, bg, bgc, points, pobs, pratios, pback,
+            pbackc, structure, 10, allow)
+        pipe = gridpp.MultiEnsiPipeline(grid, points, structure,
+                                        variant="utem", max_points=10,
+                                        allow_extrapolation=allow,
+                                        bratios=bratios)
+        dev = pipe(bg, pobs, pratios, background_corr=bgc)
+        np.testing.assert_allclose(dev, host, atol=5e-4, rtol=1e-4)
+
+    def test_missing_obs_cycle(self):
+        """NaN obs this cycle: masked out of the shortlist, like the host
+        API's validity screening."""
+        (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+         pratios, bratios) = self._mk(seed=3)
+        pobs_e[::3] = np.nan
+        keep = np.isfinite(pobs_e[:, 0])
+        host = gridpp.optimal_interpolation_ensi_multi_ebesc(
+            grid, bratios, bg, points, pobs_e, pratios, pback,
+            structure, 10)
+        pipe = gridpp.MultiEnsiPipeline(grid, points, structure,
+                                        variant="ebesc", max_points=10,
+                                        candidates=25, bratios=bratios)
+        dev = pipe(bg, pobs_e, pratios)
+        np.testing.assert_allclose(dev, host, atol=2e-4, rtol=1e-4)
+        assert keep.sum() > 0  # the cycle still assimilated something
+
+    def test_requires_corr(self):
+        (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+         pratios, bratios) = self._mk(seed=4)
+        pipe = gridpp.MultiEnsiPipeline(grid, points, structure,
+                                        variant="utem")
+        with pytest.raises(ValueError):
+            pipe(bg, pobs_e[:, 0], pratios)
+        with pytest.raises(ValueError):
+            gridpp.MultiEnsiPipeline(grid, points, structure,
+                                     variant="nope")
