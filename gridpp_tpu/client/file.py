@@ -71,15 +71,28 @@ class File:
             return FileNorcomQnh(filename, options)
         if ftype not in (None, "netcdf"):
             raise RuntimeError(f"Could not understand file type {ftype}")
-        return FileNetcdf(filename)
+        return FileNetcdf(filename, options)
+
+
+# Cap on attribute sizes, like the reference's guard against runaway
+# history attributes (Testing/FileNetcdf.cpp setLongAttribute)
+_MAX_ATTR_LENGTH = int(1e7)
 
 
 class FileNetcdf(File):
-    """NetCDF file with flexible naming (File/Netcdf.cpp)."""
+    """NetCDF file with flexible dim/variable naming (File/Netcdf.cpp).
 
-    def __init__(self, filename):
+    Autodetects coordinate/dimension names from the standard candidates
+    (_LAT_NAMES etc.); explicit `xDim= yDim= timeDim= ensDim= latVar=
+    lonVar= elevVar= timeVar=` options override the detection
+    (Netcdf.cpp:60-120, Testing/FileNetcdf.cpp dimNames). Fields are
+    reoriented to (T, Y, X, E) using each variable's own dimension
+    order, so variables with flipped y/x dims read correctly."""
+
+    def __init__(self, filename, options=None):
         super().__init__()
         self.filename = filename
+        self._options = options
         try:
             from scipy.io import netcdf_file
             self._nc = netcdf_file(filename, "r", mmap=False)
@@ -94,7 +107,11 @@ class FileNetcdf(File):
                     f"Cannot open '{filename}': NetCDF4 files need the "
                     "netCDF4 package (not installed); NetCDF3 is supported "
                     "natively")
+        self._load_attrs()
         self._parse()
+
+    def _opt(self, key):
+        return self._options.get(key) if self._options else None
 
     def _var(self, names):
         for name in names:
@@ -114,49 +131,187 @@ class FileNetcdf(File):
                 return name, size
         return None, None
 
+    @staticmethod
+    def _clean(var):
+        """Variable data with _FillValue/missing_value -> NaN."""
+        data = np.array(var[:], np.float64)
+        fills = [getattr(var, a, None)
+                 for a in ("_FillValue", "missing_value")]
+        if all(f is None for f in fills):
+            fills = [9.9692099683868690e+36]
+        for fv in fills:
+            if fv is not None:
+                data = np.where(np.isclose(data, float(fv), rtol=1e-6),
+                                np.nan, data)
+        return data
+
+    def _orient_2d(self, var):
+        """A per-gridpoint variable (e.g. altitude) oriented to (Y, X)
+        using its own dims — handles flipped y/x (dimNames fixture)."""
+        data = self._clean(var)
+        dims = list(var.dimensions)
+        # squeeze singleton non-y/x axes
+        for i in reversed(range(len(dims))):
+            if dims[i] not in (self._ydim, self._xdim) and \
+                    data.shape[i] == 1:
+                data = np.squeeze(data, axis=i)
+                dims.pop(i)
+        if data.ndim == 2 and dims == [self._xdim, self._ydim]:
+            data = data.T
+        return data
+
     def _parse(self):
-        lat_var = self._var(_LAT_NAMES)
-        lon_var = self._var(_LON_NAMES)
+        lat_var = self._var((self._opt("latVar"),) if self._opt("latVar")
+                            else _LAT_NAMES)
+        lon_var = self._var((self._opt("lonVar"),) if self._opt("lonVar")
+                            else _LON_NAMES)
         if lat_var is None or lon_var is None:
             raise RuntimeError(
                 f"File '{self.filename}' has no lat/lon information")
-        lats = np.array(lat_var[:], np.float64)
-        lons = np.array(lon_var[:], np.float64)
+        # Dimension-name resolution: options override; else the lat
+        # variable's own dims (2-D case); else 'y'/'x' when present
+        self._tdim = self._opt("timeDim") or \
+            next((d for d in _TIME_NAMES if d in self._nc.dimensions),
+                 "time")
+        self._edim = self._opt("ensDim") or \
+            next((d for d in _ENS_NAMES if d in self._nc.dimensions), None)
+        ydim, xdim = self._opt("yDim"), self._opt("xDim")
+        if (ydim and ydim not in self._nc.dimensions) or \
+                (xdim and xdim not in self._nc.dimensions):
+            raise RuntimeError(
+                f"Missing dimension in file '{self.filename}'")
+        lat_dims = list(lat_var.dimensions)
+        if len(lat_dims) == 2:
+            ydim = ydim or lat_dims[0]
+            xdim = xdim or lat_dims[1]
+        else:
+            ydim = ydim or ("y" if "y" in self._nc.dimensions else None)
+            xdim = xdim or ("x" if "x" in self._nc.dimensions else None)
+        self._ydim, self._xdim = ydim, xdim
+
+        lats = self._clean(lat_var)
+        lons = self._clean(lon_var)
         if lats.ndim == 1:
-            lats, lons = np.meshgrid(lats, lons, indexing="ij")
+            d = lat_dims[0] if lat_dims else None
+            if d is not None and d == (lon_var.dimensions or [None])[0]:
+                # single shared axis: a row (along x) or column (along y)
+                if d == self._ydim:
+                    lats, lons = lats[:, None], lons[:, None]
+                else:
+                    lats, lons = lats[None, :], lons[None, :]
+            else:
+                lats, lons = np.meshgrid(lats, lons, indexing="ij")
+        elif lats.ndim == 2 and list(lat_var.dimensions) == \
+                [self._xdim, self._ydim]:
+            lats, lons = lats.T, lons.T
+
         elevs = None
-        elev_var = self._var(_ELEV_NAMES)
+        elev_var = self._var((self._opt("elevVar"),)
+                             if self._opt("elevVar") else _ELEV_NAMES)
         if elev_var is not None:
-            ev = np.array(elev_var[:], np.float64)
+            ev = self._orient_2d(elev_var)
             while ev.ndim > 2:
                 ev = ev[0]
+            name = self._opt("elevVar") or next(
+                n for n in _ELEV_NAMES if n in self._nc.variables)
             std_name = getattr(elev_var, "standard_name", "")
             if isinstance(std_name, bytes):
                 std_name = std_name.decode()
-            if "geopotential" in std_name:
-                ev = ev / 9.80665
+            if name == "surface_geopotential" or \
+                    "geopotential" in std_name:
+                ev = ev / 9.81  # Netcdf.cpp:78-80
             elevs = ev
         lafs = None
         laf_var = self._var(_LAF_NAMES)
         if laf_var is not None:
-            lv = np.array(laf_var[:], np.float64)
+            lv = self._orient_2d(laf_var)
             while lv.ndim > 2:
                 lv = lv[0]
             lafs = lv
         self.grid = Grid(lats, lons,
                          elevs if elevs is not None else (),
                          lafs if lafs is not None else ())
-        time_var = self._var(_TIME_NAMES)
-        self.times = (np.array(time_var[:], np.float64)
-                      if time_var is not None else np.zeros(1))
-        _, ens_size = self._dim_size(_ENS_NAMES)
-        self.num_ens = ens_size or 1
+
         ref_var = self._var(("forecast_reference_time",))
         if ref_var is not None:
             try:
                 self.reference_time = float(np.asarray(ref_var.data))
             except Exception:
                 self.reference_time = None
+        time_var = self._var((self._opt("timeVar"),)
+                             if self._opt("timeVar") else _TIME_NAMES)
+        if time_var is not None:
+            tdata = np.asarray(time_var.data
+                               if self._backend == "scipy"
+                               else time_var[:])
+            # scalar time variable (no dimension): one analysis time
+            self.times = np.atleast_1d(np.array(tdata, np.float64))
+        elif self.reference_time is not None:
+            # analysis file: no time axis, use forecast_reference_time
+            # (Netcdf.cpp / Testing/FileNetcdf.cpp analysis)
+            self.times = np.array([self.reference_time], np.float64)
+        else:
+            self.times = np.zeros(1)
+        if self._edim is not None:
+            _, ens_size = self._dim_size((self._edim,))
+        else:
+            _, ens_size = self._dim_size(_ENS_NAMES)
+        self.num_ens = ens_size or 1
+
+    # --- attributes (Netcdf.cpp attribute API) -------------------------
+    def _load_attrs(self):
+        if self._backend == "scipy":
+            self._gattrs = {
+                k: (v.decode() if isinstance(v, bytes) else str(v))
+                for k, v in dict(getattr(self._nc, "_attributes",
+                                         {})).items()}
+            self._vattrs = {
+                name: {k: (v.decode() if isinstance(v, bytes) else v)
+                       for k, v in dict(getattr(var, "_attributes",
+                                                {})).items()}
+                for name, var in self._nc.variables.items()}
+        else:  # pragma: no cover - netCDF4 backend
+            self._gattrs = {k: self._nc.getncattr(k)
+                            for k in self._nc.ncattrs()}
+            self._vattrs = {name: {k: var.getncattr(k)
+                                   for k in var.ncattrs()}
+                            for name, var in self._nc.variables.items()}
+
+    def get_global_attribute(self, key) -> str:
+        value = self._gattrs.get(key, "")
+        return value if isinstance(value, str) else str(value)
+
+    def set_global_attribute(self, key, value):
+        value = str(value)
+        if len(value) > _MAX_ATTR_LENGTH:
+            print(f"Warning: attribute '{key}' too long; not set")
+            return
+        self._gattrs[key] = value
+
+    def append_global_attribute(self, key, value):
+        old = self.get_global_attribute(key)
+        self.set_global_attribute(key,
+                                  f"{old}\n{value}" if old else str(value))
+
+    def prepend_global_attribute(self, key, value):
+        old = self.get_global_attribute(key)
+        self.set_global_attribute(key,
+                                  f"{value}\n{old}" if old else str(value))
+
+    def get_attribute(self, variable, key) -> str:
+        if variable not in self._vattrs:
+            raise RuntimeError(f"Variable '{variable}' not in file")
+        value = self._vattrs[variable].get(key, "")
+        return value if isinstance(value, str) else str(value)
+
+    def set_attribute(self, variable, key, value):
+        if variable not in self._vattrs:
+            raise RuntimeError(f"Variable '{variable}' not in file")
+        value = str(value)
+        if len(value) > _MAX_ATTR_LENGTH:
+            print(f"Warning: attribute '{key}' too long; not set")
+            return
+        self._vattrs[variable][key] = value
 
     def has_variable(self, name):
         return name in self._nc.variables
@@ -174,6 +329,10 @@ class FileNetcdf(File):
                  for a in ("_FillValue", "missing_value")]
         if all(f is None for f in fills):
             fills = [9.9692099683868690e+36]
+        # the legacy client's missing-value convention is -999
+        # (client Util::MV; e.g. tests/files/validNetcdfAnalysis.nc
+        # stores missing members as raw -999 with no fill attribute)
+        fills.append(-999.0)
         for fv in fills:
             if fv is not None:
                 data = np.where(data == np.float32(fv), np.nan, data)
@@ -185,31 +344,46 @@ class FileNetcdf(File):
         return self._normalize_dims(data, var.dimensions)
 
     def _normalize_dims(self, data, dims):
+        """Reorient a variable to (T, Y, X, E) by its OWN dim order.
+
+        Dim roles come from _parse's resolved names (options override the
+        autodetected candidates); singleton level axes are squeezed;
+        missing roles become size-1 axes. Handles flipped y/x and
+        interleaved orders (Testing/FileNetcdf.cpp dimNames)."""
         shape = data.shape
-        t_ax = e_ax = None
+        t_ax = e_ax = y_ax = x_ax = None
         other = []
         for i, d in enumerate(dims):
-            if d in _TIME_NAMES:
+            if d == self._tdim or (self._tdim is None
+                                   and d in _TIME_NAMES):
                 t_ax = i
-            elif d in _ENS_NAMES:
+            elif d == self._edim or (self._edim is None
+                                     and d in _ENS_NAMES):
                 e_ax = i
+            elif d == self._ydim:
+                y_ax = i
+            elif d == self._xdim:
+                x_ax = i
             else:
                 other.append(i)
-        # drop singleton level axes from the middle
-        while len(other) > 2:
-            i = other[0]
+        # drop singleton unassigned axes (e.g. height0 levels)
+        for i in other:
             if shape[i] == 1:
                 data = np.squeeze(data, axis=i)
                 dims = tuple(d for j, d in enumerate(dims) if j != i)
                 return self._normalize_dims(data, dims)
-            other.pop(0)
-        y_ax, x_ax = other[-2], other[-1]
+        # leftover non-singleton axes fill any unassigned y then x slot
+        if y_ax is None and other:
+            y_ax = other.pop(0)
+        if x_ax is None and other:
+            x_ax = other.pop(0)
         perm = [a for a in (t_ax, y_ax, x_ax, e_ax) if a is not None]
         data = np.transpose(data, perm)
-        if t_ax is None:
-            data = data[None]
-        if e_ax is None:
-            data = data[..., None]
+        pos = 0
+        for role_ax in (t_ax, y_ax, x_ax, e_ax):
+            if role_ax is None:
+                data = np.expand_dims(data, axis=pos)
+            pos += 1
         return data.astype(np.float32)
 
     def write(self, variables, history=""):
@@ -226,7 +400,8 @@ class FileNetcdf(File):
             if name in self._fields and name in self._nc.variables:
                 var = self._nc.variables[name]
                 updates[name] = _fit_to_dims(self._fields[name], var.shape)
-        # Snapshot everything before closing the read handle
+        # Snapshot everything before closing the read handle. Attributes
+        # come from the mutable _gattrs/_vattrs (set_attribute API).
         dims = dict(self._nc.dimensions)
         varspec = []
         for name, var in self._nc.variables.items():
@@ -236,10 +411,12 @@ class FileNetcdf(File):
                 data = var.getValue()
             else:
                 data = np.array(var[:])
-            attrs = dict(getattr(var, "_attributes", {}))
+            attrs = {k: (v.encode() if isinstance(v, str) else v)
+                     for k, v in self._vattrs.get(name, {}).items()}
             varspec.append((name, var.dimensions, var.data.dtype, data,
                             attrs))
-        gattrs = dict(getattr(self._nc, "_attributes", {}))
+        gattrs = {k: (v.encode() if isinstance(v, str) else v)
+                  for k, v in self._gattrs.items()}
         self._nc.close()
         if history:
             prev = gattrs.get("history", b"")
@@ -269,6 +446,7 @@ class FileNetcdf(File):
                 v[:] = np.asarray(data).astype(dtype)
         out.close()
         self._nc = netcdf_file(self.filename, "r", mmap=False)
+        self._load_attrs()
 
 
 def _read_rows(filename):

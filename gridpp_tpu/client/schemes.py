@@ -18,12 +18,13 @@ from .options import Options
 
 
 class Downscaler:
-    def __init__(self, variable, options: Options):
-        self.variable = variable
+    def __init__(self, variable, options: Options, input_variable=None):
+        self.variable = variable                # output variable name
+        self.input_variable = input_variable or variable  # -vi support
         self.options = options
 
     def downscale(self, ifile, ofile):
-        field = ifile.get_field(self.variable)  # (T, Y, X, E)
+        field = ifile.get_field(self.input_variable)  # (T, Y, X, E)
         nt, ny, nx, ne = field.shape
         oy, ox = ofile.grid.size()
         out = np.full((nt, oy, ox, ne), MV, np.float32)
@@ -37,7 +38,7 @@ class Downscaler:
         raise NotImplementedError
 
     @staticmethod
-    def get_scheme(name, variable, options: Options):
+    def get_scheme(name, variable, options: Options, input_variable=None):
         schemes = {
             "nearestNeighbour": DownscalerNearestNeighbour,
             "nearest": DownscalerNearestNeighbour,
@@ -51,7 +52,8 @@ class Downscaler:
         if name not in schemes:
             raise RuntimeError(
                 f"Could not instantiate downscaler of type '{name}'")
-        return schemes[name](variable, options)
+        return schemes[name](variable, options,
+                             input_variable=input_variable)
 
 
 class DownscalerNearestNeighbour(Downscaler):
@@ -74,8 +76,20 @@ class DownscalerGradient(Downscaler):
 
 
 class DownscalerBypass(Downscaler):
+    """Skip downscaling (Downscaler/Bypass.cpp): used when the variable
+    will be diagnosed by a calibrator. Copies when the input has the
+    variable; otherwise initializes an MV field in the output."""
+
     def downscale(self, ifile, ofile):
-        ofile.add_field(self.variable, ifile.get_field(self.variable))
+        if ifile.has_variable(self.input_variable):
+            ofile.add_field(self.variable,
+                            ifile.get_field(self.input_variable))
+        elif not ofile.has_variable(self.variable):
+            ny, nx = ofile.grid.size()
+            nt = len(ofile.times)
+            ofile.add_field(self.variable,
+                            np.full((nt, ny, nx, ofile.num_ens), MV,
+                                    np.float32))
 
 
 class DownscalerUpscale(Downscaler):

@@ -369,8 +369,26 @@ def build_registry(g, jnp):
             xd, 0.5, 3, jnp.asarray(thresholds)))
         return True
 
+    def _multi_pipeline():
+        import jax
+        pratios_d = jnp.asarray(ratios)
+        pobs_e = jnp.asarray(
+            (pobs[:, None] + rng.normal(0, 0.5, (npts, 4))).astype(
+                np.float32))
+        bg_d = jnp.asarray(bg_ens)
+        for variant in ("ebesc", "utem", "ebe"):
+            mp = g.MultiEnsiPipeline(grid, points, structure,
+                                     variant=variant, max_points=5)
+            ob = jnp.asarray(pobs) if variant == "utem" else pobs_e
+            bc = None if variant == "ebesc" else bg_d
+            out, _ = mp.run_device(bg_d, ob, pratios_d,
+                                   background_corr=bc)
+            jax.block_until_ready(out)
+        return True
+
     reg("Pipeline", _pipeline)
     reg("EnsiPipeline", _ensi_pipeline)
+    reg("MultiEnsiPipeline", _multi_pipeline)
     reg("ops_device", _device_ops)
 
     return R
