@@ -51,6 +51,7 @@ __all__ = ["available", "neighbourhood_mean", "neighbourhood_minmax",
            "neighbourhood_quantile_fast"]
 
 _BY = 128  # output rows per program (bounds the VMEM working set)
+_DOUBLE_BUFFER = True  # overlap next block's halo DMA with compute
 
 
 def available() -> bool:
@@ -182,69 +183,128 @@ def _slide_ext(v, length, axis, out_len, op):
     return _crop(cur, out_len, axis)
 
 
-def _load_block(x_hbm, xtail_hbm, scratch, sem, i, *, h, by, rows, ny,
-                nx, padded):
-    """Fetch block i's (rows, xpad) input window into VMEM.
+def _block_dmas(x_hbm, xtail_hbm, scratch, sem, j, slot, *, h, by, rows,
+                ny, nx, padded):
+    """DMA descriptors fetching block j's (rows, xpad) window into
+    scratch[slot] (same descriptors are used to start and to wait).
 
     padded=True: x_hbm is the NaN-halo pre-padded buffer; plain DMA.
     padded=False: x_hbm is the ORIGINAL (ny, nx) field - no halo copy
     ever materializes in HBM. The DMA start is clamped into range and
     rounded down to the 8-sublane alignment Mosaic requires (the +8
     slack rows in `rows` keep the window covered; requires ny % 8 == 0
-    so the bottom clamp stays aligned), the block is rotated into halo
-    alignment (dynamic pltpu.roll), and out-of-domain rows/cols are
-    NaN-masked via iota comparisons - reproducing the NaN-halo
-    semantics exactly. When nx is not 128-lane-aligned, the last
-    partial lane tile arrives via `xtail_hbm`, a (ny, 128) strip copy
-    of the trailing columns (~1 MB, vs re-padding the whole field).
+    so the bottom clamp stays aligned). When nx is not 128-lane-aligned,
+    the last partial lane tile arrives via `xtail_hbm`, a (ny, 128)
+    strip copy of the trailing columns (~1 MB, vs re-padding the whole
+    field).
     """
     from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
 
     if padded:
-        dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * by, rows), :], scratch, sem)
-        dma.start()
-        dma.wait()
-        return scratch[:]
-
+        return [pltpu.make_async_copy(
+            x_hbm.at[pl.ds(j * by, rows), :], scratch.at[slot],
+            sem.at[slot])]
     nxd = (nx // 128) * 128
-    d0 = i * by - h               # absolute row of scratch row 0
+    d0 = j * by - h               # absolute row of scratch row 0
     s0 = (jnp.clip(d0, 0, ny - rows) // 8) * 8
+    dmas = []
     if nxd:
-        dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(s0, rows), 0:nxd], scratch.at[:, 0:nxd], sem)
-        dma.start()
-        dma.wait()
+        dmas.append(pltpu.make_async_copy(
+            x_hbm.at[pl.ds(s0, rows), 0:nxd],
+            scratch.at[slot, :, 0:nxd], sem.at[slot]))
     if nxd < nx:
-        dma = pltpu.make_async_copy(
+        dmas.append(pltpu.make_async_copy(
             xtail_hbm.at[pl.ds(s0, rows), :],
-            scratch.at[:, nxd:nxd + 128], sem)
-        dma.start()
-        dma.wait()
-    v = scratch[:]
-    v = pltpu.roll(v, shift=jnp.remainder(s0 - d0, rows), axis=0)
-    if h:
-        v = pltpu.roll(v, shift=h, axis=1)
+            scratch.at[slot, :, nxd:nxd + 128], sem.at[slot]))
+    return dmas
+
+
+def _load_block(x_hbm, xtail_hbm, scratch, sem, i, *, h, by, rows, ny,
+                nx, padded, nblk, db=True):
+    """Double-buffered fetch of block i's window; returns (vals, ok).
+
+    Block i+1's DMA is started before waiting on block i's (issued by
+    the previous grid step), overlapping the halo load with compute.
+    vals: the (rows, xpad) window rotated into halo alignment with
+    out-of-domain cells NaN; ok: the in-domain mask (iota comparisons),
+    also used by the callers' NaN fast-path test.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+
+    kw = dict(h=h, by=by, rows=rows, ny=ny, nx=nx, padded=padded)
+
+    if db and _DOUBLE_BUFFER:
+        @pl.when(i == 0)
+        def _():
+            for dma in _block_dmas(x_hbm, xtail_hbm, scratch, sem, 0, 0,
+                                   **kw):
+                dma.start()
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            for dma in _block_dmas(x_hbm, xtail_hbm, scratch, sem, i + 1,
+                                   jnp.remainder(i + 1, 2), **kw):
+                dma.start()
+
+        slot = jnp.remainder(i, 2)
+        for dma in _block_dmas(x_hbm, xtail_hbm, scratch, sem, i, slot,
+                               **kw):
+            dma.wait()
+        v = scratch[slot]
+    else:
+        for dma in _block_dmas(x_hbm, xtail_hbm, scratch, sem, i, 0,
+                               **kw):
+            dma.start()
+            dma.wait()
+        v = scratch[0]
+    d0 = i * by - h
+    if not padded:
+        s0 = (jnp.clip(d0, 0, ny - rows) // 8) * 8
+        v = pltpu.roll(v, shift=jnp.remainder(s0 - d0, rows), axis=0)
+        if h:
+            v = pltpu.roll(v, shift=h, axis=1)
     row_abs = d0 + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
     col_abs = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) - h
     ok = (row_abs >= 0) & (row_abs < ny) & (col_abs >= 0) & (col_abs < nx)
-    return jnp.where(ok, v, jnp.nan)
+    if not padded:
+        v = jnp.where(ok, v, jnp.nan)
+    return v, ok
+
+
+def _analytic_counts(i, h, by, outw, ny, nx):
+    """Clipped-window valid-cell counts for a NaN-free block: the
+    separable product cy*cx with cy = min(y+h, ny-1) - max(y-h, 0) + 1
+    (and likewise cx) - no slide passes needed."""
+    y = i * by + jax.lax.broadcasted_iota(jnp.int32, (by, outw), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (by, outw), 1)
+    cy = jnp.minimum(y + h, ny - 1) - jnp.maximum(y - h, 0) + 1
+    cx = jnp.minimum(x + h, nx - 1) - jnp.maximum(x - h, 0) + 1
+    return (cy * cx).astype(jnp.float32)
 
 
 def _mean_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h, by,
-                 rows, xpad, outw, stat, ny, nx, padded):
+                 rows, xpad, outw, stat, ny, nx, padded, nblk):
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
-    vals = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
-                       rows=rows, ny=ny, nx=nx, padded=padded)
+    vals, ok = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
+                           rows=rows, ny=ny, nx=nx, padded=padded,
+                           nblk=nblk)
     length = 2 * h + 1
     m = jnp.isfinite(vals)
     s = _slide_sum(_slide_sum(jnp.where(m, vals, 0.0), length, 0, by),
                    length, 1, outw)
-    c = _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0, by),
-                   length, 1, outw)
+    # NaN fast path: with no missing cell in the block's window, the
+    # count field is the analytic clipped-window product - the second
+    # slide pair (half the kernel's VPU work) is skipped.
+    has_bad = jnp.any(~m & ok)
+    c = jax.lax.cond(
+        has_bad,
+        lambda: _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0,
+                                      by), length, 1, outw),
+        lambda: _analytic_counts(i, h, by, outw, ny, nx))
     if stat == int(Statistic.Count):
         out_ref[:] = c
     elif stat == int(Statistic.Sum):
@@ -254,12 +314,13 @@ def _mean_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h, by,
 
 
 def _minmax_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h, by,
-                   rows, xpad, outw, stat, ny, nx, padded):
+                   rows, xpad, outw, stat, ny, nx, padded, nblk):
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
-    vals = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
-                       rows=rows, ny=ny, nx=nx, padded=padded)
+    vals, ok = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
+                           rows=rows, ny=ny, nx=nx, padded=padded,
+                           nblk=nblk)
     m = jnp.isfinite(vals)
     if stat == int(Statistic.Min):
         ident, op = jnp.inf, jnp.minimum
@@ -279,7 +340,7 @@ def _run_2pass(x, h, stat, kernel_fn, interpret):
     xin, xtail, nyb, padded = _prep_input(x, h, by, rows, xpad, ny, nx)
     kernel = functools.partial(kernel_fn, h=h, by=by, rows=rows,
                                xpad=xpad, outw=outw, stat=stat, ny=ny,
-                               nx=nx, padded=padded)
+                               nx=nx, padded=padded, nblk=nyb)
     out = pl.pallas_call(
         kernel,
         grid=(nyb,),
@@ -288,8 +349,8 @@ def _run_2pass(x, h, stat, kernel_fn, interpret):
         out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows, xpad), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, rows, xpad), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xin, xtail)
@@ -336,31 +397,49 @@ def neighbourhood_minmax(x: jax.Array, halfwidth: int, statistic: int,
 
 def _qf_kernel(thr_smem, q_smem, x_hbm, xtail_hbm, out_ref, scratch,
                cnt, lr, xy, cdf, sem, *, h, by, rows, xpad, outw, t, ny,
-               nx, padded):
+               nx, padded, nblk):
     import jax.experimental.pallas as pl
 
     q = q_smem[0]
     i = pl.program_id(0)
-    vals = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
-                       rows=rows, ny=ny, nx=nx, padded=padded)
+    vals, ok = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
+                           rows=rows, ny=ny, nx=nx, padded=padded,
+                           nblk=nblk, db=False)
     length = 2 * h + 1
     m = jnp.isfinite(vals)
-    c = _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0, by),
-                   length, 1, outw)
+    has_bad = jnp.any(~m & ok)
+    c = jax.lax.cond(
+        has_bad,
+        lambda: _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0,
+                                      by), length, 1, outw),
+        lambda: _analytic_counts(i, h, by, outw, ny, nx))
     cnt[:] = c
     cden = jnp.maximum(c, 1.0)
 
-    # Per-threshold CDF plane: window-mean of the <=threshold indicator
-    # (neighbourhood.cpp:339-358), sharing the single count pass above.
-    # s / max(c, 1) exactly as the XLA mean stencil: the indicator sums
-    # are small integers (exact in f32 in any order), so the division is
-    # the only rounding and the CDF matches the XLA path bit-for-bit -
-    # required because the inverse-CDF branches on cdf-vs-q comparisons.
-    for k in range(t):
-        thr = thr_smem[k]
-        s = _slide_sum(_slide_sum(jnp.where(m & (vals <= thr), 1.0, 0.0),
-                                  length, 0, by), length, 1, outw)
-        cdf[k] = jnp.clip(s / cden, 0.0, 1.0)
+    # Per-threshold CDF planes: window-means of the <=threshold
+    # indicators (neighbourhood.cpp:339-358), sharing the single count
+    # pass above. The indicators are BIT-PACKED into int32 fields before
+    # the slide passes: window counts fit 8 bits when (2h+1)^2 <= 255
+    # (16 bits up to h=127), so 4 (or 2) threshold planes ride one
+    # register and the slide work drops by the same factor. The unpacked
+    # sums are exact small integers in f32, so s / max(c, 1) matches the
+    # XLA mean stencil bit-for-bit - required because the inverse-CDF
+    # branches on cdf-vs-q comparisons.
+    win = length * length
+    density = 4 if win <= 255 else (2 if win <= 65535 else 1)
+    bits = 32 // density
+    fmask = (1 << bits) - 1
+    for k0 in range(0, t, density):
+        ks = list(range(k0, min(k0 + density, t)))
+        p = None
+        for idx, k in enumerate(ks):
+            ind = (m & (vals <= thr_smem[k])).astype(jnp.int32)
+            ind = ind << (bits * idx) if idx else ind
+            p = ind if p is None else p + ind
+        ps = _slide_sum(_slide_sum(p, length, 0, by), length, 1, outw)
+        for idx, k in enumerate(ks):
+            s = ((ps >> (bits * idx)) & fmask).astype(jnp.float32)
+            cdf[k] = jnp.clip(s / cden, 0.0, 1.0)
 
     # Piecewise-linear inverse CDF across the T planes, in-register
     # (neighbourhood.cpp:367-404 + util.cpp:377-432 flat-interval rules).
@@ -439,7 +518,7 @@ def neighbourhood_quantile_fast(x: jax.Array, quantile,
     xin, xtail, nyb, padded = _prep_input(x, h, by, rows, xpad, ny, nx)
     kernel = functools.partial(_qf_kernel, h=h, by=by, rows=rows,
                                xpad=xpad, outw=outw, t=t, ny=ny, nx=nx,
-                               padded=padded)
+                               padded=padded, nblk=nyb)
     out = pl.pallas_call(
         kernel,
         grid=(nyb,),
@@ -450,12 +529,12 @@ def neighbourhood_quantile_fast(x: jax.Array, quantile,
         out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows, xpad), jnp.float32),
+            pltpu.VMEM((2, rows, xpad), jnp.float32),  # double buffer
             pltpu.VMEM((by, outw), jnp.float32),
             pltpu.VMEM((2, by, outw), jnp.float32),
             pltpu.VMEM((4, by, outw), jnp.float32),
             pltpu.VMEM((t, by, outw), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(jnp.asarray(thresholds, jnp.float32),
