@@ -47,8 +47,9 @@ import numpy as np
 
 from ..constants import Statistic
 
-__all__ = ["available", "neighbourhood_mean", "neighbourhood_minmax",
-           "neighbourhood_quantile_fast"]
+__all__ = ["available", "use_pallas", "neighbourhood_mean",
+           "neighbourhood_minmax", "neighbourhood_quantile_fast",
+           "neighbourhood_members", "members_supported"]
 
 _BY = 128  # output rows per program (bounds the VMEM working set)
 _DOUBLE_BUFFER = True  # overlap next block's halo DMA with compute
@@ -84,16 +85,20 @@ def use_pallas() -> bool:
     return not on_host()
 
 
-def _pad_halo(x, h, by, rows, xpad):
-    """NaN-halo + block/lane/sublane padding of a (Y, X) field."""
+def _pad_halo(x, h, by, rows, xpad, hx=None):
+    """NaN-halo + block/lane/sublane padding of a (Y, X) field.
+
+    hx: lane-axis halo width (defaults to h; the member-batched kernel
+    uses h*E since its x-axis strides E lanes per grid column)."""
+    hx = h if hx is None else hx
     ny = x.shape[0]
     nyb = -(-ny // by)
     xp = jnp.full((nyb * by + (rows - by), xpad), jnp.nan, jnp.float32)
-    return jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32), (h, h)), \
-        nyb
+    return jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32),
+                                        (h, hx)), nyb
 
 
-def _prep_input(x, h, by, rows, xpad, ny, nx):
+def _prep_input(x, h, by, rows, xpad, ny, nx, hx=None):
     """Choose pad-free vs pre-padded input form for the kernels.
 
     Pad-free needs a full (rows,) DMA window (ny >= rows) and an
@@ -103,7 +108,7 @@ def _prep_input(x, h, by, rows, xpad, ny, nx):
     Pallas input arity is static)."""
     padded = ny < rows or ny % 8 != 0
     if padded:
-        xin, nyb = _pad_halo(x, h, by, rows, xpad)
+        xin, nyb = _pad_halo(x, h, by, rows, xpad, hx=hx)
     else:
         xin = x.astype(jnp.float32)
         nyb = -(-ny // by)
@@ -117,12 +122,13 @@ def _prep_input(x, h, by, rows, xpad, ny, nx):
     return xin, xtail, nyb, padded
 
 
-def _shapes(ny, nx, h, by=_BY):
+def _shapes(ny, nx, h, by=_BY, hx=None):
     # block height must be 8-sublane aligned: Mosaic requires output
     # block indices provably divisible by the tiling
+    hx = h if hx is None else hx
     by = max(8, (min(by, max(8, ny)) // 8) * 8)
     outw = -(-nx // 128) * 128
-    xpad = -(-(outw + 2 * h) // 128) * 128
+    xpad = -(-(outw + 2 * hx) // 128) * 128
     # 8-sublane-aligned DMA slice, +8 slack rows so the pad-free path
     # can round its DMA start down to an 8-aligned row (Mosaic requires
     # provably 8-divisible HBM slice starts) and still cover the window
@@ -138,33 +144,35 @@ def _shift(a, d, n, axis):
     return a[d:d + n, :] if axis == 0 else a[:, d:d + n]
 
 
-def _slide_sum(v, length, axis, out_len):
+def _slide_sum(v, length, axis, out_len, step=1):
     """Sliding `length`-window sum along `axis` via dilated doubling.
 
-    out[i] = sum_{k<length} v[i+k], computed in ~2*log2(length) adds
-    (span-doubling partial sums combined along the binary decomposition
-    of `length`) instead of length-1 — log depth keeps only ~log2 value
-    temps live, which is what the Mosaic VMEM stack can hold (a linear
-    (2h+1)-term chain at h=7 overflows the 16 MB scoped limit).
+    out[i] = sum_{k<length} v[i+k*step], computed in ~2*log2(length)
+    adds (span-doubling partial sums combined along the binary
+    decomposition of `length`) instead of length-1 — log depth keeps
+    only ~log2 value temps live, which is what the Mosaic VMEM stack
+    can hold (a linear (2h+1)-term chain at h=7 overflows the 16 MB
+    scoped limit). step>1 strides the window: the member-batched kernel
+    puts E members in the minor lanes, so an x-axis window hops E lanes.
     """
     arrs = {1: v}
     span = 1
     cur = v
     while span * 2 <= length:
-        n = cur.shape[axis] - span
-        cur = _crop(cur, n, axis) + _shift(cur, span, n, axis)
+        n = cur.shape[axis] - span * step
+        cur = _crop(cur, n, axis) + _shift(cur, span * step, n, axis)
         span *= 2
         arrs[span] = cur
     out = None
     off = 0
     for s in sorted((k for k in arrs if length & k), reverse=True):
-        a = _shift(arrs[s], off, out_len, axis)
+        a = _shift(arrs[s], off * step, out_len, axis)
         out = a if out is None else out + a
         off += s
     return out
 
 
-def _slide_ext(v, length, axis, out_len, op):
+def _slide_ext(v, length, axis, out_len, op, step=1):
     """Sliding `length`-window min/max via dilated doubling + overlap.
 
     window(L) = combine of two power-of-two spans overlapping to cover
@@ -173,18 +181,18 @@ def _slide_ext(v, length, axis, out_len, op):
     span = 1
     cur = v
     while span * 2 <= length:
-        n = cur.shape[axis] - span
-        cur = op(_crop(cur, n, axis), _shift(cur, span, n, axis))
+        n = cur.shape[axis] - span * step
+        cur = op(_crop(cur, n, axis), _shift(cur, span * step, n, axis))
         span *= 2
     if span < length:
-        d = length - span
+        d = (length - span) * step
         n = cur.shape[axis] - d
         cur = op(_crop(cur, n, axis), _shift(cur, d, n, axis))
     return _crop(cur, out_len, axis)
 
 
 def _block_dmas(x_hbm, xtail_hbm, scratch, sem, j, slot, *, h, by, rows,
-                ny, nx, padded):
+                ny, nx, padded):  # (columns need no h: halo via roll/mask)
     """DMA descriptors fetching block j's (rows, xpad) window into
     scratch[slot] (same descriptors are used to start and to wait).
 
@@ -221,7 +229,7 @@ def _block_dmas(x_hbm, xtail_hbm, scratch, sem, j, slot, *, h, by, rows,
 
 
 def _load_block(x_hbm, xtail_hbm, scratch, sem, i, *, h, by, rows, ny,
-                nx, padded, nblk, db=True):
+                nx, padded, nblk, db=True, hx=None):
     """Double-buffered fetch of block i's window; returns (vals, ok).
 
     Block i+1's DMA is started before waiting on block i's (issued by
@@ -259,26 +267,31 @@ def _load_block(x_hbm, xtail_hbm, scratch, sem, i, *, h, by, rows, ny,
             dma.start()
             dma.wait()
         v = scratch[0]
+    hx = h if hx is None else hx  # lane-axis halo (h*E member-batched)
     d0 = i * by - h
     if not padded:
         s0 = (jnp.clip(d0, 0, ny - rows) // 8) * 8
         v = pltpu.roll(v, shift=jnp.remainder(s0 - d0, rows), axis=0)
-        if h:
-            v = pltpu.roll(v, shift=h, axis=1)
+        if hx:
+            v = pltpu.roll(v, shift=hx, axis=1)
     row_abs = d0 + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    col_abs = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) - h
+    col_abs = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) - hx
     ok = (row_abs >= 0) & (row_abs < ny) & (col_abs >= 0) & (col_abs < nx)
     if not padded:
         v = jnp.where(ok, v, jnp.nan)
     return v, ok
 
 
-def _analytic_counts(i, h, by, outw, ny, nx):
+def _analytic_counts(i, h, by, outw, ny, nx, e=1):
     """Clipped-window valid-cell counts for a NaN-free block: the
     separable product cy*cx with cy = min(y+h, ny-1) - max(y-h, 0) + 1
-    (and likewise cx) - no slide passes needed."""
+    (and likewise cx) - no slide passes needed. e>1: members ride the
+    minor lanes, so the grid column is lane // e and nx is the true X
+    extent."""
     y = i * by + jax.lax.broadcasted_iota(jnp.int32, (by, outw), 0)
     x = jax.lax.broadcasted_iota(jnp.int32, (by, outw), 1)
+    if e > 1:
+        x = x // e
     cy = jnp.minimum(y + h, ny - 1) - jnp.maximum(y - h, 0) + 1
     cx = jnp.minimum(x + h, nx - 1) - jnp.maximum(x - h, 0) + 1
     return (cy * cx).astype(jnp.float32)
@@ -540,3 +553,136 @@ def neighbourhood_quantile_fast(x: jax.Array, quantile,
     )(jnp.asarray(thresholds, jnp.float32),
       jnp.asarray(quantile, jnp.float32).reshape(1), xin, xtail)
     return out
+
+
+def _member_mean_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h,
+                        by, rows, xpad, outw, stat, ny, nx, e, padded,
+                        nblk):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    vals, ok = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
+                           rows=rows, ny=ny, nx=nx * e, padded=padded,
+                           nblk=nblk, db=False, hx=h * e)
+    length = 2 * h + 1
+    m = jnp.isfinite(vals)
+    s = _slide_sum(_slide_sum(jnp.where(m, vals, 0.0), length, 0, by),
+                   length, 1, outw, step=e)
+    has_bad = jnp.any(~m & ok)
+    c = jax.lax.cond(
+        has_bad,
+        lambda: _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0,
+                                      by), length, 1, outw, step=e),
+        lambda: _analytic_counts(i, h, by, outw, ny, nx, e=e))
+    if stat == int(Statistic.Count):
+        out_ref[:] = c
+    elif stat == int(Statistic.Sum):
+        out_ref[:] = jnp.where(c > 0, s, jnp.nan)
+    else:
+        out_ref[:] = jnp.where(c > 0, s / jnp.maximum(c, 1.0), jnp.nan)
+
+
+def _member_minmax_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h,
+                          by, rows, xpad, outw, stat, ny, nx, e, padded,
+                          nblk):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    vals, ok = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
+                           rows=rows, ny=ny, nx=nx * e, padded=padded,
+                           nblk=nblk, db=False, hx=h * e)
+    m = jnp.isfinite(vals)
+    if stat == int(Statistic.Min):
+        ident, op = jnp.inf, jnp.minimum
+    else:
+        ident, op = -jnp.inf, jnp.maximum
+    length = 2 * h + 1
+    ext = _slide_ext(_slide_ext(jnp.where(m, vals, ident), length, 0, by,
+                                op), length, 1, outw, op, step=e)
+    out_ref[:] = jnp.where(jnp.isfinite(ext), ext, jnp.nan)
+
+
+def _member_geom(nx, e, h):
+    """(by, outw, xpad) for the batched member kernel, or None when no
+    block height keeps the VMEM working set under Mosaic's scoped
+    limit.
+
+    Live VMEM ~ scratch window + ~5 rows-height dilated-span temps in
+    the y pass + ~7 by-height temps in the x pass; solve for the
+    largest 8-aligned by under a 13 MB budget.
+    """
+    nxe = nx * e
+    outw = -(-nxe // 128) * 128
+    xpad = -(-(outw + 2 * h * e) // 128) * 128
+    budget = 13 * 2 ** 20 // 4
+    fixed = (2 * h + 16) * xpad * 6
+    denom = 6 * xpad + 7 * outw
+    by = (budget - fixed) // max(denom, 1)
+    by = min(_BY, (by // 8) * 8)
+    if by < 8:
+        return None
+    return by, outw, xpad
+
+
+def members_supported(ny, nx, e, h) -> bool:
+    """True when the batched member kernel's VMEM working set fits."""
+    return _member_geom(nx, e, h) is not None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("halfwidth", "statistic", "interpret"))
+def neighbourhood_members(x: jax.Array, halfwidth: int, statistic: int,
+                          interpret: bool = False) -> jax.Array:
+    """(Y, X, E) windowed statistic over (Y, X) for EVERY member in ONE
+    fused kernel (Mean/Sum/Count/Min/Max).
+
+    The member axis stays in the minor lanes, so each member's x-axis
+    window hops E lanes (_slide_sum step=E) and the whole member stack
+    costs a single HBM read + write. The per-member unrolled form
+    re-reads the interleaved (Y, X, E) buffer's cache lines for every
+    member: E separate HBM sweeps (EnsiPipeline's smoothing stage,
+    VERDICT r3 stretch task).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx, e = x.shape
+    h = int(halfwidth)
+    stat = int(statistic)
+    if h == 0:
+        m = jnp.isfinite(x)
+        if stat == int(Statistic.Count):
+            return m.astype(jnp.float32)
+        return jnp.where(m, x, jnp.nan)
+    nxe = nx * e
+    x2 = x.reshape(ny, nxe)
+    geom = _member_geom(nx, e, h)
+    if geom is None:
+        raise ValueError(
+            "neighbourhood_members: VMEM working set too large for "
+            f"(ny={ny}, nx={nx}, e={e}, h={h}); gate with "
+            "members_supported()")
+    by, outw, xpad, rows = _shapes(ny, nxe, h, by=geom[0], hx=h * e)
+    xin, xtail, nyb, padded = _prep_input(x2, h, by, rows, xpad, ny, nxe,
+                                          hx=h * e)
+    if stat in (int(Statistic.Min), int(Statistic.Max)):
+        kernel_fn = _member_minmax_kernel
+    else:
+        kernel_fn = _member_mean_kernel
+    kernel = functools.partial(kernel_fn, h=h, by=by, rows=rows,
+                               xpad=xpad, outw=outw, stat=stat, ny=ny,
+                               nx=nx, e=e, padded=padded, nblk=nyb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nyb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ny, nxe), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, rows, xpad), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+    )(xin, xtail)
+    return out.reshape(ny, nx, e)
