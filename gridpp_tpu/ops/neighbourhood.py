@@ -111,7 +111,8 @@ def neighbourhood(input: jax.Array, halfwidth: int, statistic: int):
     h = int(halfwidth)
     if input.ndim == 2 and h > 0 and statistic in (
             Statistic.Mean, Statistic.Sum, Statistic.Count,
-            Statistic.Min, Statistic.Max):
+            Statistic.Min, Statistic.Max, Statistic.Std,
+            Statistic.Variance):
         # Fused Pallas kernels on TPU (single HBM read + write; the
         # XLA reduce_window path below runs the separable passes as
         # HBM-level sweeps). 2-D only: batched callers (the
@@ -152,6 +153,9 @@ def _pallas_basic(h: int, statistic: int):
     if statistic in (Statistic.Mean, Statistic.Sum, Statistic.Count):
         def pfn(x):
             return pallas_stencil.neighbourhood_mean(x, h, statistic)
+    elif statistic in (Statistic.Std, Statistic.Variance):
+        def pfn(x):
+            return pallas_stencil.neighbourhood_var(x, h, statistic)
     else:
         def pfn(x):
             return pallas_stencil.neighbourhood_minmax(x, h, statistic)

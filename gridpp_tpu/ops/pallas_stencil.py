@@ -49,7 +49,8 @@ from ..constants import Statistic
 
 __all__ = ["available", "use_pallas", "neighbourhood_mean",
            "neighbourhood_minmax", "neighbourhood_quantile_fast",
-           "neighbourhood_members", "members_supported"]
+           "neighbourhood_var", "neighbourhood_members",
+           "members_supported"]
 
 _BY = 128  # output rows per program (bounds the VMEM working set)
 _DOUBLE_BUFFER = True  # overlap next block's halo DMA with compute
@@ -326,6 +327,40 @@ def _mean_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h, by,
         out_ref[:] = jnp.where(c > 0, s / jnp.maximum(c, 1.0), jnp.nan)
 
 
+def _var_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h, by,
+                rows, xpad, outw, stat, ny, nx, padded, nblk):
+    """Fused Std/Variance: slides of x and x^2 share one block load.
+
+    The XLA/dispatch fallback computes two full Mean stencils (one on x,
+    one on x*x: two HBM reads plus a materialized x^2 field); here the
+    block is read once and var = E[x^2] - E[x]^2 finalizes in-register
+    with the exact same arithmetic as the two-pass form
+    (neighbourhood.cpp:211-235's unclamped expression).
+    """
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    vals, ok = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
+                           rows=rows, ny=ny, nx=nx, padded=padded,
+                           nblk=nblk)
+    length = 2 * h + 1
+    m = jnp.isfinite(vals)
+    v0 = jnp.where(m, vals, 0.0)
+    s = _slide_sum(_slide_sum(v0, length, 0, by), length, 1, outw)
+    s2 = _slide_sum(_slide_sum(v0 * v0, length, 0, by), length, 1, outw)
+    has_bad = jnp.any(~m & ok)
+    c = jax.lax.cond(
+        has_bad,
+        lambda: _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0,
+                                      by), length, 1, outw),
+        lambda: _analytic_counts(i, h, by, outw, ny, nx))
+    cden = jnp.maximum(c, 1.0)
+    mean = jnp.where(c > 0, s / cden, jnp.nan)
+    mean2 = jnp.where(c > 0, s2 / cden, jnp.nan)
+    var = mean2 - mean * mean  # unclamped, like neighbourhood.cpp:211-235
+    out_ref[:] = jnp.sqrt(var) if stat == int(Statistic.Std) else var
+
+
 def _minmax_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h, by,
                    rows, xpad, outw, stat, ny, nx, padded, nblk):
     import jax.experimental.pallas as pl
@@ -344,12 +379,12 @@ def _minmax_kernel(x_hbm, xtail_hbm, out_ref, scratch, sem, *, h, by,
                                 op), length, 1, outw, op)
     out_ref[:] = jnp.where(jnp.isfinite(ext), ext, jnp.nan)
 
-def _run_2pass(x, h, stat, kernel_fn, interpret):
+def _run_2pass(x, h, stat, kernel_fn, interpret, by=_BY):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ny, nx = x.shape
-    by, outw, xpad, rows = _shapes(ny, nx, h)
+    by, outw, xpad, rows = _shapes(ny, nx, h, by=by)
     xin, xtail, nyb, padded = _prep_input(x, h, by, rows, xpad, ny, nx)
     kernel = functools.partial(kernel_fn, h=h, by=by, rows=rows,
                                xpad=xpad, outw=outw, stat=stat, ny=ny,
@@ -390,6 +425,25 @@ def neighbourhood_mean(x: jax.Array, halfwidth: int,
             return m.astype(jnp.float32)
         return jnp.where(m, x, jnp.nan)
     return _run_2pass(x, h, stat, _mean_kernel, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("halfwidth", "statistic", "interpret"))
+def neighbourhood_var(x: jax.Array, halfwidth: int, statistic: int,
+                      interpret: bool = False) -> jax.Array:
+    """(Y, X) NaN-skipping windowed Std/Variance via one fused kernel."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h = int(halfwidth)
+    stat = int(statistic)
+    if h == 0:
+        m = jnp.isfinite(x)
+        var = jnp.where(m, 0.0, jnp.nan)
+        return var
+    # three slide pairs live at once: smaller block keeps the Mosaic
+    # scoped-VMEM stack under the 16 MB limit
+    return _run_2pass(x, h, stat, _var_kernel, interpret, by=64)
 
 
 @functools.partial(jax.jit,

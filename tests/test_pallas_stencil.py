@@ -189,3 +189,14 @@ def test_members_vmem_gate():
         ps.neighbourhood_members(
             jnp.zeros((2000, 2000, 10), jnp.float32), 7,
             int(Statistic.Mean), interpret=True)
+
+
+@pytest.mark.parametrize("stat", [Statistic.Std, Statistic.Variance])
+@pytest.mark.parametrize("shape,h", [((40, 60), 3), ((17, 250), 7),
+                                     ((256, 300), 7), ((31, 31), 0)])
+def test_var_matches_xla_stencil(stat, shape, h):
+    x = _field(shape, seed=int(stat) + h)
+    out = np.asarray(ps.neighbourhood_var(jnp.asarray(x), h, int(stat),
+                                          interpret=True))
+    ref = np.asarray(nops._xla_basic(jnp.asarray(x), h, int(stat)))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-3)
