@@ -12,7 +12,7 @@ import numpy as np
 from ..constants import MV
 from ..core.grid import Grid
 from ..core.points import Points
-from ..ops.oi import make_oi_dense_sweep, make_oi_kernel
+from ..ops.oi import make_oi_dense_sweep, make_oi_gather_kernel
 from ._common import asarray_f32, on_host
 
 __all__ = ["optimal_interpolation", "optimal_interpolation_full"]
@@ -247,8 +247,9 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
         if res is None:
             return output, avar
         cand, mask = res
-        cand_dev = jnp.asarray(cand)
-        mask_dev = jnp.asarray(mask)
+        if not on_host():
+            cand_dev = jnp.asarray(cand)
+            mask_dev = jnp.asarray(mask)
     obs_key = (opts.size(), hash(opts.lats.tobytes()),
                hash(opts.lons.tobytes()),
                float(loc.min()) if loc.size else 0.0,
@@ -256,14 +257,20 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     origin = _origin(bpoints)
     p1_all = _device_fields(bpoints, structure, origin)
     o_fields = _device_fields(opts, structure, origin)
+    host = on_host()
+    if host:
+        # numpy block slices are views (no per-slice XLA dispatch); the
+        # per-block gathers live inside the jitted kernel
+        # (make_oi_gather_kernel)
+        p1_all = {k: np.asarray(v) for k, v in p1_all.items()}
     j_obs = jnp.asarray(pobs_k)
     j_bg = jnp.asarray(pbg_k)
     j_ratios = jnp.asarray(pratios_k)
 
-    kernel = make_oi_kernel(structure, int(max_points),
-                            bool(allow_extrapolation))
-    bg_j = jnp.asarray(background)
-    bvar_j = jnp.asarray(bvariance)
+    kernel = make_oi_gather_kernel(structure, int(max_points),
+                                   bool(allow_extrapolation))
+    bg_flat = background if host else jnp.asarray(background)
+    bvar_flat = bvariance if host else jnp.asarray(bvariance)
 
     # Keep all block outputs on device; one transfer at the end (tunneled
     # links pay large latency per host-device crossing).
@@ -276,27 +283,24 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
             res_b = _candidates_block(bpoints, opts, loc, start, end,
                                       obs_key)
             if res_b is None:  # no obs in radius for this whole block
-                outs.append(bg_j[start:end])
-                avars.append(bvar_j[start:end])
+                outs.append(bg_flat[start:end])
+                avars.append(bvar_flat[start:end])
                 continue
-            cand_j = jnp.asarray(res_b[0])
-            mask_b = jnp.asarray(res_b[1])
+            cand_b, mask_b = res_b
+        elif host:
+            cand_b, mask_b = cand[start:end], mask[start:end]
         else:
-            cand_j = cand_dev[start:end]
-            mask_b = mask_dev[start:end]
+            cand_b, mask_b = cand_dev[start:end], mask_dev[start:end]
         p1 = {k: v[start:end][:, None] for k, v in p1_all.items()}
-        cand_fields = {k: jnp.take(v, cand_j, axis=0)
-                       for k, v in o_fields.items()}
-        obs_b = jnp.take(j_obs, cand_j, axis=0)
-        y_b = jnp.take(j_bg, cand_j, axis=0)
-        r_b = jnp.take(j_ratios, cand_j, axis=0)
-        out_b, avar_b = kernel(p1, cand_fields, mask_b,
-                               bg_j[start:end], bvar_j[start:end],
-                               obs_b, y_b, r_b)
+        out_b, avar_b = kernel(p1, o_fields, cand_b, mask_b,
+                               bg_flat[start:end], bvar_flat[start:end],
+                               j_obs, j_bg, j_ratios)
         outs.append(out_b)
         avars.append(avar_b)
-    output = np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
-    avar = np.asarray(jnp.concatenate(avars) if len(avars) > 1 else avars[0])
+    if len(outs) == 1:
+        return np.asarray(outs[0]), np.asarray(avars[0])
+    output = np.concatenate([np.asarray(o) for o in outs])
+    avar = np.concatenate([np.asarray(a) for a in avars])
     return output, avar
 
 

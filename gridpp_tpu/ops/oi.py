@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["oi_block", "oi_block_dense", "oi_block_from_candidates",
-           "make_oi_kernel", "make_oi_dense_kernel", "make_oi_select_sweep"]
+           "make_oi_kernel", "make_oi_gather_kernel",
+           "make_oi_dense_kernel", "make_oi_select_sweep"]
 
 
 def _select_top(rho, valid, s_cap: int):
@@ -319,4 +320,38 @@ def make_oi_dense_sweep(structure, max_points: int,
         return out.reshape(-1)[:n], avar.reshape(-1)[:n]
 
     cache[(int(max_points), bool(allow_extrapolation), int(block))] = kernel
+    return kernel
+
+
+def make_oi_gather_kernel(structure, max_points: int,
+                          allow_extrapolation: bool):
+    """Host-candidate OI block solver with the gathers INSIDE the jit.
+
+    The host path previously gathered candidate fields with ~12 eager
+    jnp ops per block before invoking the jitted solver; fusing them in
+    removes the per-primitive dispatches and the materialized (B, K)
+    gather intermediates. Measured at 2000^2/10k the call is
+    compute-bound on the batched solve either way (the gathers are
+    ~1 s of a ~40 s call), so this is a dispatch-count/allocation
+    cleanup, not a speedup.
+    """
+    cache, hit = _kernel_cache(structure, "_oi_gather_kernel_cache",
+                               (int(max_points),
+                                bool(allow_extrapolation)))
+    if hit is not None:
+        return hit
+
+    @jax.jit
+    def kernel(p1_fields, obs_fields, cand, mask, background,
+               bvariance, obs, obs_y, ratios):
+        cand_fields = {k: jnp.take(v, cand, axis=0)
+                       for k, v in obs_fields.items()}
+        return oi_block(structure, p1_fields, cand_fields, mask,
+                        background, bvariance,
+                        jnp.take(obs, cand, axis=0),
+                        jnp.take(obs_y, cand, axis=0),
+                        jnp.take(ratios, cand, axis=0),
+                        max_points, allow_extrapolation)
+
+    cache[(int(max_points), bool(allow_extrapolation))] = kernel
     return kernel
