@@ -861,3 +861,178 @@ void calc_gradient_lr(const float* base, const float* values, int64_t ny,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host OI solver (reference src/api/oi.cpp:221-341; mirrors the XLA path in
+// gridpp_tpu/ops/oi.py _solve_selected + the structure-function kernels in
+// gridpp_tpu/structure.py:38-86). Per gridpoint: candidate rho against the
+// padded shortlist, stable top-max_points selection (ties keep candidate
+// order, like lax.top_k), S x S correlation assembly with a ratio ridge,
+// Gauss-Jordan solve without pivoting (SPD + identity rows), increment with
+// the optional anti-extrapolation clamp, and the analysis-variance update.
+// Threaded over gridpoints; the XLA:CPU fused program runs this path
+// effectively single-threaded (~40 s at 2000^2/10k).
+
+namespace {
+
+inline float rho_kernel(int type, float dist, float length) {
+    // matches structure.py _barnes/_cressman/_soar/_toar/_powerlaw_rho:
+    // invalid/zero length -> factor disabled (1); non-finite dist -> 0
+    if (!std::isfinite(length) || length == 0.0f) return 1.0f;
+    if (!std::isfinite(dist)) return 0.0f;
+    switch (type) {
+        case 0: {  // barnes
+            float v = dist / length;
+            return std::exp(-0.5f * v * v);
+        }
+        case 1: {  // cressman
+            if (std::fabs(dist) >= std::fabs(length)) return 0.0f;
+            float ll = length * length, dd = dist * dist;
+            return (ll - dd) / (ll + dd);
+        }
+        case 2: {  // soar
+            float v = std::fabs(dist) / length;
+            return (1.0f + v) * std::exp(-v);
+        }
+        case 3: {  // toar
+            float v = std::fabs(dist) / length;
+            return (1.0f + v + (v * v) / 3.0f) * std::exp(-v);
+        }
+        case 4: {  // powerlaw
+            float v = dist / length;
+            return 1.0f / (1.0f + 0.5f * v * v);
+        }
+    }
+    return 0.0f;
+}
+
+inline float pair_corr(int type, float dx, float dy, float dz,
+                       float e1, float e2, float l1, float l2,
+                       float h, float v, float w, float loc) {
+    float hd = std::sqrt(dx * dx + dy * dy + dz * dz);
+    float rho = rho_kernel(type, hd, h);
+    if (valid(e1) && valid(e2)) rho *= rho_kernel(type, e1 - e2, v);
+    if (valid(l1) && valid(l2)) rho *= rho_kernel(type, l1 - l2, w);
+    if (!(hd <= loc)) rho = 0.0f;
+    return rho;
+}
+
+}  // namespace
+
+extern "C" {
+
+void oi_host_solve(
+    const float* gx, const float* gy, const float* gz,
+    const float* gelev, const float* glaf,
+    const float* gh, const float* gv, const float* gw, const float* gloc,
+    int64_t n,
+    const float* ox, const float* oy, const float* oz,
+    const float* oelev, const float* olaf,
+    const float* oh, const float* ov, const float* ow, const float* oloc,
+    const float* obs, const float* oyb, const float* oratio,
+    const int32_t* cand, const uint8_t* mask, int64_t kpad,
+    int kernel_type, int max_points, int allow_extrapolation,
+    const float* background, const float* bvariance,
+    float* out, float* out_avar) {
+    parallel_rows(n, [&](int64_t s0, int64_t e0) {
+        std::vector<int> sel(kpad);
+        std::vector<float> rho(kpad);
+        std::vector<int> order(kpad);
+        std::vector<double> m;  // (S, S+1) augmented solve matrix
+        std::vector<float> g, inno;
+        std::vector<int> gsel;
+        for (int64_t i = s0; i < e0; i++) {
+            float bg = background[i];
+            float bvar = bvariance[i];
+            out[i] = bg;
+            out_avar[i] = bvar;
+            const int32_t* ci = cand + i * kpad;
+            const uint8_t* mi = mask + i * kpad;
+            int cnt = 0;
+            for (int64_t k = 0; k < kpad; k++) {
+                if (!mi[k]) continue;
+                int o = ci[k];
+                float r = pair_corr(kernel_type,
+                                    gx[i] - ox[o], gy[i] - oy[o],
+                                    gz[i] - oz[o], gelev[i], oelev[o],
+                                    glaf[i], olaf[o],
+                                    gh[i], gv[i], gw[i], gloc[i]);
+                if (!(r > 0.0f)) continue;
+                sel[cnt] = o;
+                rho[cnt] = r;
+                cnt++;
+            }
+            if (cnt == 0 || !valid(bg)) continue;
+            int S = (max_points > 0 && max_points < cnt) ? max_points : cnt;
+            for (int k = 0; k < cnt; k++) order[k] = k;
+            std::stable_sort(order.begin(), order.begin() + cnt,
+                             [&](int a, int b) { return rho[a] > rho[b]; });
+            g.assign(S, 0.0f);
+            inno.assign(S, 0.0f);
+            gsel.assign(S, 0);
+            for (int k = 0; k < S; k++) {
+                g[k] = rho[order[k]];
+                gsel[k] = sel[order[k]];
+                inno[k] = obs[gsel[k]] - oyb[gsel[k]];
+            }
+            // augmented (S, S+1): obs-obs correlations (h/v/w and the
+            // localization radius come from the ROW observation, like the
+            // batch-last XLA assembly) + ratio ridge; rhs = g
+            // double-precision assembly + solve, like the reference's
+            // Armadillo path (oi.cpp:315 operates on arma::mat doubles):
+            // strongly correlated obs make the system ill-conditioned
+            // and f32 elimination order shifts analyses by ~1e-3
+            m.assign((size_t)S * (S + 1), 0.0);
+            for (int r = 0; r < S; r++) {
+                int orow = gsel[r];
+                for (int c = 0; c < S; c++) {
+                    int ocol = gsel[c];
+                    m[(size_t)r * (S + 1) + c] = pair_corr(
+                        kernel_type, ox[orow] - ox[ocol],
+                        oy[orow] - oy[ocol], oz[orow] - oz[ocol],
+                        oelev[orow], oelev[ocol], olaf[orow], olaf[ocol],
+                        oh[orow], ov[orow], ow[orow], oloc[orow]);
+                }
+                m[(size_t)r * (S + 1) + r] += oratio[orow];
+                m[(size_t)r * (S + 1) + S] = g[r];
+            }
+            // Gauss-Jordan without pivoting (SPD by construction)
+            for (int k = 0; k < S; k++) {
+                double invp = 1.0 / m[(size_t)k * (S + 1) + k];
+                for (int c = 0; c <= S; c++)
+                    m[(size_t)k * (S + 1) + c] *= invp;
+                for (int r = 0; r < S; r++) {
+                    if (r == k) continue;
+                    double f = m[(size_t)r * (S + 1) + k];
+                    if (f == 0.0) continue;
+                    for (int c = 0; c <= S; c++)
+                        m[(size_t)r * (S + 1) + c] -=
+                            f * m[(size_t)k * (S + 1) + c];
+                }
+            }
+            double increment = 0.0, a_scalar = 0.0;
+            for (int k = 0; k < S; k++) {
+                double x = m[(size_t)k * (S + 1) + S];
+                increment += x * inno[k];
+                a_scalar += x * g[k];
+            }
+            if (!allow_extrapolation) {
+                double max_inc = -std::numeric_limits<double>::infinity();
+                double min_inc = std::numeric_limits<double>::infinity();
+                for (int k = 0; k < S; k++) {
+                    max_inc = std::max<double>(max_inc, inno[k]);
+                    min_inc = std::min<double>(min_inc, inno[k]);
+                }
+                if (max_inc > 0 && increment > max_inc) increment = max_inc;
+                else if (max_inc < 0 && increment > 0) increment = max_inc;
+                else if (min_inc < 0 && increment < min_inc)
+                    increment = min_inc;
+                else if (min_inc > 0 && increment < 0) increment = min_inc;
+            }
+            out[i] = bg + (float)increment;
+            out_avar[i] = bvar * (float)(1.0 - a_scalar);
+        }
+    });
+}
+
+}  // extern "C"

@@ -189,6 +189,71 @@ def _resolved_fields(pts: Points, structure, origin=None) -> dict:
     return fields
 
 
+def _native_kernel_type(structure):
+    """Native rho-kernel id for structures the C++ OI solver supports.
+
+    Exact-type match: subclasses may override _corr, and
+    Multiple/CrossValidation/Linear have non-product or value-based
+    correlation semantics the native kernel does not implement.
+    """
+    from ..structure import (BarnesStructure, CressmanStructure,
+                             PowerlawStructure, SoarStructure,
+                             ToarStructure)
+    return {BarnesStructure: 0, CressmanStructure: 1, SoarStructure: 2,
+            ToarStructure: 3, PowerlawStructure: 4}.get(type(structure))
+
+
+def _oi_native(bpoints, opts, loc, structure, kt, p1_np, o_np, pobs_k,
+               pbg_k, pratios_k, background, bvariance, max_points,
+               allow_extrapolation, chunked, cand, mask, obs_key):
+    """Run the threaded native per-gridpoint OI solve (csrc
+    oi_host_solve); returns (analysis, avariance) or None when the
+    native engine is unavailable."""
+    from .. import native
+    if native.get_lib() is None:
+        return None
+    n = bpoints.size()
+
+    def with_scales(fields, pts, count):
+        out = dict(fields)
+        for key in ("h", "v", "w"):
+            if key not in out:
+                out[key] = np.full(count, float(getattr(structure, key,
+                                                        0.0)), np.float32)
+        return out
+
+    gfx = with_scales(p1_np, bpoints, n)
+    gfx["loc"] = np.asarray(loc, np.float32)
+    ofx = with_scales(o_np, opts, opts.size())
+    ofx["loc"] = np.asarray(
+        structure.localization_np(opts.lats, opts.lons), np.float32)
+
+    if not chunked:
+        res = native.oi_host_solve(
+            gfx, ofx, pobs_k, pbg_k, pratios_k, cand, mask, kt,
+            int(max_points), bool(allow_extrapolation), background,
+            bvariance)
+        return res
+    out = np.asarray(background, np.float32).copy()
+    avar = np.asarray(bvariance, np.float32).copy()
+    block = _BLOCK
+    for start in range(0, n, block):
+        end = min(start + block, n)
+        res_b = _candidates_block(bpoints, opts, loc, start, end, obs_key)
+        if res_b is None:
+            continue
+        gfb = {k: v[start:end] for k, v in gfx.items()}
+        res = native.oi_host_solve(
+            gfb, ofx, pobs_k, pbg_k, pratios_k, res_b[0], res_b[1], kt,
+            int(max_points), bool(allow_extrapolation),
+            background[start:end], bvariance[start:end])
+        if res is None:
+            return None
+        out[start:end] = res[0]
+        avar[start:end] = res[1]
+    return out, avar
+
+
 def _oi_points(bpoints: Points, background, bvariance, points: Points,
                pobs, obs_variance, pbackground, bvariance_at_points,
                structure, max_points, allow_extrapolation):
@@ -263,6 +328,22 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
         # per-block gathers live inside the jitted kernel
         # (make_oi_gather_kernel)
         p1_all = {k: np.asarray(v) for k, v in p1_all.items()}
+        # Threaded native solver for the product-kernel structures: the
+        # XLA:CPU fused program runs this path effectively
+        # single-threaded (~40 s at 2000^2/10k; the native kernel is
+        # ~8x with identical f32 semantics). Exotic structures
+        # (Multiple/CrossValidation/Linear) keep the XLA path.
+        kt = _native_kernel_type(structure)
+        if kt is not None:
+            res_nat = _oi_native(
+                bpoints, opts, loc, structure, kt, p1_all,
+                {k: np.asarray(v) for k, v in o_fields.items()},
+                pobs_k, pbg_k, pratios_k, background, bvariance,
+                max_points, allow_extrapolation, chunked,
+                None if chunked else cand, None if chunked else mask,
+                obs_key)
+            if res_nat is not None:
+                return res_nat
     j_obs = jnp.asarray(pobs_k)
     j_bg = jnp.asarray(pbg_k)
     j_ratios = jnp.asarray(pratios_k)

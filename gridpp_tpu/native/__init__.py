@@ -96,6 +96,9 @@ def get_lib():
         lib.index_radius_stat.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                           ctypes.c_int64, ctypes.c_double,
                                           c_p, c_i32, c_f64, c_i64, c_p]
+        lib.oi_host_solve.argtypes = (
+            [c_p] * 9 + [c_i64] + [c_p] * 12 + [c_p, c_p, c_i64]
+            + [c_i32, c_i32, c_i32] + [c_p] * 4)
         _lib = lib
         return _lib
 
@@ -363,3 +366,39 @@ def nb_search(array: np.ndarray, search_array: np.ndarray, halfwidth: int,
                   float(target_min), float(target_max), float(delta),
                   _ptr(ap), int(use_apply), _ptr(out))
     return out
+
+
+def oi_host_solve(gfx, ofx, obs, oyb, oratio, cand, mask, kernel_type,
+                  max_points, allow_extrapolation, background, bvariance):
+    """Threaded per-gridpoint OI solve (csrc oi_host_solve).
+
+    gfx/ofx: dicts with f32 arrays x,y,z,elev,laf,h,v,w,loc for the
+    gridpoints / observations. Returns (analysis, avariance) or None
+    when the native engine is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = gfx["x"].shape[0]
+    out = np.empty(n, np.float32)
+    avar = np.empty(n, np.float32)
+    cand = np.ascontiguousarray(cand, np.int32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    kpad = cand.shape[1]
+    # materialize every converted array BEFORE taking pointers, so the
+    # temporaries stay alive through the call
+    garrs = [_f32c(gfx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
+                                     "v", "w", "loc")]
+    oarrs = [_f32c(ofx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
+                                     "v", "w", "loc")]
+    varrs = [_f32c(obs), _f32c(oyb), _f32c(oratio)]
+    bgarrs = [_f32c(background), _f32c(bvariance)]
+    lib.oi_host_solve(
+        *[_ptr(a) for a in garrs], n,
+        *[_ptr(a) for a in oarrs],
+        *[_ptr(a) for a in varrs],
+        _ptr(cand), _ptr(mask), kpad,
+        int(kernel_type), int(max_points), int(bool(allow_extrapolation)),
+        *[_ptr(a) for a in bgarrs],
+        _ptr(out), _ptr(avar))
+    return out, avar

@@ -360,3 +360,137 @@ class TestTiledPipeline:
         b = tiled(background, pobs, ratios)
         np.testing.assert_allclose(b, a, atol=1e-5)
         assert np.isnan(b[6, 12])
+
+
+class TestNativeHostSolver:
+    """The threaded native OI solver (csrc oi_host_solve) vs the XLA
+    path, which stays authoritative for unsupported structures."""
+
+    def _problem(self, seed=0, ny=40, nx=50, p=150):
+        rng = np.random.default_rng(seed)
+        lats, lons = np.meshgrid(np.linspace(55, 58, ny),
+                                 np.linspace(5, 8, nx), indexing="ij")
+        elevs = rng.uniform(0, 800, (ny, nx)).astype(np.float32)
+        lafs = rng.uniform(0, 1, (ny, nx)).astype(np.float32)
+        grid = gridpp.Grid(lats, lons, elevs, lafs)
+        points = gridpp.Points(rng.uniform(55.05, 57.95, p),
+                               rng.uniform(5.05, 7.95, p),
+                               rng.uniform(0, 700, p),
+                               rng.uniform(0, 1, p))
+        bg = rng.normal(280, 5, (ny, nx)).astype(np.float32)
+        bg[3, 4] = np.nan  # invalid background passthrough
+        nn = grid.nearest_map(points.lats, points.lons)
+        pback = bg.reshape(-1)[nn]
+        pobs = (pback + rng.normal(0, 1, p)).astype(np.float32)
+        pobs[::17] = np.nan  # invalid obs are dropped
+        ratios = np.full(p, 0.1, np.float32)
+        return grid, points, bg, pobs, ratios, pback
+
+    def _compare(self, structure, monkeypatch, allow=True, seed=0):
+        from gridpp_tpu.api import oi as oi_api
+        grid, points, bg, pobs, ratios, pback = self._problem(seed)
+        assert oi_api._native_kernel_type(structure) is not None
+        # Strict comparison with max_points=0 (every in-radius obs): the
+        # top-k rank boundary is ulp-sensitive (two correct f32
+        # implementations can flip which of two near-equal-rho obs makes
+        # the cut), so the strict check removes the rank boundary...
+        out_nat = gridpp.optimal_interpolation(
+            grid, bg, points, pobs, ratios, pback, structure, 0, allow)
+        # ...and cells with an obs within ~5 cm of the localization
+        # boundary are excluded (FMA rounding of the chord distance can
+        # flip the radius test).
+        out_nat10 = gridpp.optimal_interpolation(
+            grid, bg, points, pobs, ratios, pback, structure, 10, allow)
+        monkeypatch.setattr(oi_api, "_native_kernel_type", lambda s: None)
+        out_xla = gridpp.optimal_interpolation(
+            grid, bg, points, pobs, ratios, pback, structure, 0, allow)
+        out_xla10 = gridpp.optimal_interpolation(
+            grid, bg, points, pobs, ratios, pback, structure, 10, allow)
+        bp = grid.to_points()
+        d = np.sqrt(((bp.xyz[:, None, :]
+                      - points.xyz[None, :, :]) ** 2).sum(-1))
+        locv = structure.localization_np(bp.lats, bp.lons)
+        interior = ~(np.abs(d - locv[:, None]) < 0.05).any(
+            axis=1).reshape(out_nat.shape)
+        assert interior.mean() > 0.9  # the mask must stay a sliver
+        # Ill-conditioned local systems (strongly correlated obs, e.g.
+        # hmax keeping every in-radius rho >= 0.3) legitimately differ
+        # between the native double solve (reference-precision Armadillo
+        # semantics) and the f32 XLA solve by ~1e-3 relative; systematic
+        # bugs would mismatch everywhere, so bound fraction AND size.
+        close = np.isclose(out_nat[interior], out_xla[interior],
+                           atol=2e-4, rtol=1e-5, equal_nan=True)
+        assert close.mean() > 0.995, f"{(~close).sum()} cells mismatch"
+        rel = np.abs(out_nat - out_xla)[interior] / np.maximum(
+            np.abs(out_xla), 1.0)[interior]
+        assert np.nanmax(rel) < 5e-3
+        # max_points=10: allow rare rank-boundary flips, bound their size
+        close10 = np.isclose(out_nat10, out_xla10, atol=2e-4, rtol=1e-5,
+                             equal_nan=True)
+        assert close10.mean() > 0.99
+        rel = np.abs(out_nat10 - out_xla10) / np.maximum(
+            np.abs(out_xla10), 1.0)
+        assert np.nanmax(rel) < 5e-3
+
+    def test_barnes(self, monkeypatch):
+        self._compare(gridpp.BarnesStructure(20000.0, 200.0, 0.3),
+                      monkeypatch)
+
+    def test_barnes_hmax(self, monkeypatch):
+        self._compare(gridpp.BarnesStructure(20000.0, 0.0, 0.0, 30000.0),
+                      monkeypatch, seed=1)
+
+    def test_barnes_no_extrapolation(self, monkeypatch):
+        self._compare(gridpp.BarnesStructure(20000.0, 200.0, 0.3),
+                      monkeypatch, allow=False, seed=2)
+
+    def test_cressman(self, monkeypatch):
+        self._compare(gridpp.CressmanStructure(30000.0, 300.0, 0.5),
+                      monkeypatch, seed=3)
+
+    def test_soar(self, monkeypatch):
+        self._compare(gridpp.SoarStructure(15000.0, 200.0, 0.0),
+                      monkeypatch, seed=4)
+
+    def test_toar(self, monkeypatch):
+        self._compare(gridpp.ToarStructure(15000.0, 0.0, 0.4),
+                      monkeypatch, seed=5)
+
+    def test_powerlaw(self, monkeypatch):
+        self._compare(gridpp.PowerlawStructure(15000.0, 250.0, 0.0),
+                      monkeypatch, seed=6)
+
+    def test_spatial_barnes(self, monkeypatch):
+        rng = np.random.default_rng(7)
+        ny, nx = 30, 30
+        lats, lons = np.meshgrid(np.linspace(55, 57, ny),
+                                 np.linspace(5, 7, nx), indexing="ij")
+        sgrid = gridpp.Grid(lats, lons)
+        h = rng.uniform(15000, 40000, (ny, nx)).astype(np.float32)
+        v = np.full((ny, nx), 200.0, np.float32)
+        w = np.zeros((ny, nx), np.float32)
+        self._compare(gridpp.BarnesStructure(sgrid, h, v, w), monkeypatch,
+                      seed=7)
+
+    def test_chunked_blocks(self, monkeypatch):
+        # force the per-block candidate path at a small size
+        from gridpp_tpu.api import oi as oi_api
+        monkeypatch.setattr(oi_api, "_BALL_QUERY_MAX", 500)
+        monkeypatch.setattr(oi_api, "_BLOCK", 512)
+        self._compare(gridpp.BarnesStructure(20000.0, 150.0, 0.0),
+                      monkeypatch, seed=8)
+
+    def test_variance_output(self, monkeypatch):
+        from gridpp_tpu.api import oi as oi_api
+        grid, points, bg, pobs, ratios, pback = self._problem(9)
+        bvar = np.ones_like(bg)
+        structure = gridpp.BarnesStructure(20000.0)
+        out_n, var_n = gridpp.optimal_interpolation_full(
+            grid, bg, bvar, points, pobs, ratios * 1.0, pback,
+            np.ones_like(pback), structure, 10)
+        monkeypatch.setattr(oi_api, "_native_kernel_type", lambda s: None)
+        out_x, var_x = gridpp.optimal_interpolation_full(
+            grid, bg, bvar, points, pobs, ratios * 1.0, pback,
+            np.ones_like(pback), structure, 10)
+        np.testing.assert_allclose(out_n, out_x, atol=2e-4, rtol=1e-5)
+        np.testing.assert_allclose(var_n, var_x, atol=2e-4, rtol=1e-5)
