@@ -1036,3 +1036,247 @@ void oi_host_solve(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host EnSI solver (reference src/api/oi_ensi.cpp:114-568; mirrors the XLA
+// path in gridpp_tpu/ops/oi_ensi.py _ensi_update with the eigendecomposition
+// the reference uses instead of the TPU's Newton-Schulz). Double-precision
+// local algebra (the reference's Armadillo precision); threaded over
+// gridpoints where the reference is single-threaded by necessity (OMP
+// disabled, oi_ensi.cpp:203-206).
+
+namespace {
+
+// Cyclic Jacobi eigendecomposition of a symmetric e x e matrix (double).
+// a is overwritten; eigenvalues land in w, eigenvectors in columns of q.
+bool jacobi_eigh(int e, double* a, double* w, double* q) {
+    for (int i = 0; i < e; i++)
+        for (int j = 0; j < e; j++) q[i * e + j] = (i == j) ? 1.0 : 0.0;
+    double diagsq0 = 0.0;
+    for (int i = 0; i < e; i++) diagsq0 += a[i * e + i] * a[i * e + i];
+    const double tol = 1e-24 * (diagsq0 + 1e-300);
+    for (int sweep = 0; sweep < 50; sweep++) {
+        double off = 0.0;
+        for (int i = 0; i < e; i++)
+            for (int j = i + 1; j < e; j++) off += a[i * e + j] * a[i * e + j];
+        if (off <= tol) break;  // relative: quadratic convergence lands
+                                // here in ~5-8 sweeps
+        for (int p = 0; p < e; p++) {
+            for (int r = p + 1; r < e; r++) {
+                double apr = a[p * e + r];
+                if (apr == 0.0) continue;
+                double app = a[p * e + p], arr = a[r * e + r];
+                double tau = (arr - app) / (2.0 * apr);
+                double t = (tau >= 0 ? 1.0 : -1.0) /
+                           (std::fabs(tau) + std::sqrt(1.0 + tau * tau));
+                double c = 1.0 / std::sqrt(1.0 + t * t);
+                double s = t * c;
+                for (int k = 0; k < e; k++) {
+                    double akp = a[k * e + p], akr = a[k * e + r];
+                    a[k * e + p] = c * akp - s * akr;
+                    a[k * e + r] = s * akp + c * akr;
+                }
+                for (int k = 0; k < e; k++) {
+                    double apk = a[p * e + k], ark = a[r * e + k];
+                    a[p * e + k] = c * apk - s * ark;
+                    a[r * e + k] = s * apk + c * ark;
+                }
+                for (int k = 0; k < e; k++) {
+                    double qkp = q[k * e + p], qkr = q[k * e + r];
+                    q[k * e + p] = c * qkp - s * qkr;
+                    q[k * e + r] = s * qkp + c * qkr;
+                }
+            }
+        }
+    }
+    bool ok = true;
+    for (int i = 0; i < e; i++) {
+        w[i] = a[i * e + i];
+        if (!std::isfinite(w[i]) || w[i] <= 0.0) ok = false;
+    }
+    return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+void oi_ensi_host_solve(
+    const float* gx, const float* gy, const float* gz,
+    const float* gelev, const float* glaf,
+    const float* gh, const float* gv, const float* gw, const float* gloc,
+    int64_t n,
+    const float* ox, const float* oy, const float* oz,
+    const float* oelev, const float* olaf,
+    const float* oh, const float* ov, const float* ow, const float* oloc,
+    const float* obs, const float* sigmas, const float* yhat,
+    const float* yanom,  // (P, E) row-major
+    const int32_t* cand, const uint8_t* mask, int64_t kpad,
+    int kernel_type, int max_points, int allow_extrapolation, int n_ens,
+    const float* background,  // (n, E)
+    float* out,               // (n, E)
+    uint8_t* cond_bad) {
+    const int E = n_ens;
+    parallel_rows(n, [&](int64_t s0, int64_t e0) {
+        std::vector<int> sel(kpad), order(kpad), gsel;
+        std::vector<float> rho(kpad);
+        std::vector<double> Y, C, Pinv, Qv, lam, cv, wv, Wm, x, inno, g;
+        for (int64_t i = s0; i < e0; i++) {
+            const float* bg = background + i * E;
+            float* oi = out + i * E;
+            for (int j = 0; j < E; j++) oi[j] = bg[j];
+            cond_bad[i] = 0;
+            const int32_t* ci = cand + i * kpad;
+            const uint8_t* mi = mask + i * kpad;
+            int cnt = 0;
+            for (int64_t k = 0; k < kpad; k++) {
+                if (!mi[k]) continue;
+                int o = ci[k];
+                float r = pair_corr(kernel_type,
+                                    gx[i] - ox[o], gy[i] - oy[o],
+                                    gz[i] - oz[o], gelev[i], oelev[o],
+                                    glaf[i], olaf[o],
+                                    gh[i], gv[i], gw[i], gloc[i]);
+                if (!(r > 0.0f)) continue;
+                sel[cnt] = o;
+                rho[cnt] = r;
+                cnt++;
+            }
+            if (cnt == 0) continue;
+            int S = (max_points > 0 && max_points < cnt) ? max_points : cnt;
+            for (int k = 0; k < cnt; k++) order[k] = k;
+            std::stable_sort(order.begin(), order.begin() + cnt,
+                             [&](int a, int b) { return rho[a] > rho[b]; });
+            gsel.assign(S, 0);
+            g.assign(S, 0.0);
+            inno.assign(S, 0.0);
+            for (int k = 0; k < S; k++) {
+                gsel[k] = sel[order[k]];
+                g[k] = rho[order[k]];
+                inno[k] = (double)obs[gsel[k]] - (double)yhat[gsel[k]];
+            }
+            // Rinv diag = rho / sigma^2; C = Y^T Rinv; Pinv = C Y + (E-1) I
+            Y.assign((size_t)S * E, 0.0);
+            for (int k = 0; k < S; k++)
+                for (int j = 0; j < E; j++)
+                    Y[(size_t)k * E + j] = yanom[(size_t)gsel[k] * E + j];
+            C.assign((size_t)E * S, 0.0);
+            for (int k = 0; k < S; k++) {
+                double sg = sigmas[gsel[k]];
+                double rinv = g[k] / (sg * sg);
+                for (int j = 0; j < E; j++)
+                    C[(size_t)j * S + k] = Y[(size_t)k * E + j] * rinv;
+            }
+            Pinv.assign((size_t)E * E, 0.0);
+            for (int a = 0; a < E; a++)
+                for (int b = 0; b < E; b++) {
+                    double acc = 0.0;
+                    for (int k = 0; k < S; k++)
+                        acc += C[(size_t)a * S + k] * Y[(size_t)k * E + b];
+                    Pinv[(size_t)a * E + b] = acc;
+                }
+            for (int a = 0; a < E; a++)
+                for (int b = a + 1; b < E; b++) {
+                    double m2 = 0.5 * (Pinv[(size_t)a * E + b]
+                                       + Pinv[(size_t)b * E + a]);
+                    Pinv[(size_t)a * E + b] = m2;
+                    Pinv[(size_t)b * E + a] = m2;
+                }
+            for (int a = 0; a < E; a++) Pinv[(size_t)a * E + a] += E - 1;
+            bool finite = true;
+            for (int a = 0; a < E * E; a++)
+                if (!std::isfinite(Pinv[a])) finite = false;
+            Qv.assign((size_t)E * E, 0.0);
+            lam.assign(E, 0.0);
+            if (!finite || !jacobi_eigh(E, Pinv.data(), lam.data(),
+                                        Qv.data())) {
+                cond_bad[i] = 1;  // keep the raw background
+                continue;
+            }
+            // W = sqrt(E-1) Q lam^{-1/2} Q^T; w = Q lam^{-1} Q^T (C inno)
+            cv.assign(E, 0.0);
+            for (int a = 0; a < E; a++)
+                for (int k = 0; k < S; k++)
+                    cv[a] += C[(size_t)a * S + k] * inno[k];
+            wv.assign(E, 0.0);
+            // w = Q diag(1/lam) Q^T cv
+            {
+                std::vector<double>& tmp = Wm;  // reuse buffer
+                tmp.assign(E, 0.0);
+                for (int b = 0; b < E; b++) {
+                    double acc = 0.0;
+                    for (int a = 0; a < E; a++)
+                        acc += Qv[(size_t)a * E + b] * cv[a];
+                    tmp[b] = acc / lam[b];
+                }
+                for (int a = 0; a < E; a++) {
+                    double acc = 0.0;
+                    for (int b = 0; b < E; b++)
+                        acc += Qv[(size_t)a * E + b] * tmp[b];
+                    wv[a] = acc;
+                }
+            }
+            // member anomalies
+            double mean = 0.0;
+            bool bgfin = true;
+            for (int j = 0; j < E; j++) {
+                if (!std::isfinite(bg[j])) bgfin = false;
+                mean += bg[j];
+            }
+            mean /= E;
+            if (!bgfin) continue;  // member screening is done upstream
+            x.assign(E, 0.0);
+            for (int j = 0; j < E; j++) x[j] = bg[j] - mean;
+            // Wx = sqrt(E-1) Q lam^{-1/2} Q^T x
+            std::vector<double>& tmp = Wm;
+            tmp.assign(E, 0.0);
+            for (int b = 0; b < E; b++) {
+                double acc = 0.0;
+                for (int a = 0; a < E; a++)
+                    acc += Qv[(size_t)a * E + b] * x[a];
+                tmp[b] = acc / std::sqrt(lam[b]);
+            }
+            double xw = 0.0;
+            for (int j = 0; j < E; j++) xw += x[j] * wv[j];
+            bool okp = true;
+            std::vector<double>& incr = cv;  // reuse
+            double sq = std::sqrt((double)(E - 1));
+            for (int ee = 0; ee < E; ee++) {
+                double wx = 0.0;
+                for (int b = 0; b < E; b++)
+                    wx += Qv[(size_t)ee * E + b] * tmp[b];
+                incr[ee] = sq * wx + xw;
+            }
+            if (!allow_extrapolation) {
+                for (int ee = 0; ee < E; ee++) {
+                    // reference quirk (oi_ensi.cpp:520-537): lY[e] is the
+                    // e-th element of the column-major flattened Y
+                    int obs_i = ee % S;
+                    int mem_j = ee / S;
+                    double yel = Y[(size_t)obs_i * E + mem_j];
+                    double max_inc = -std::numeric_limits<double>::infinity();
+                    double min_inc = std::numeric_limits<double>::infinity();
+                    for (int k = 0; k < S; k++) {
+                        double d = inno[k] - yel;
+                        max_inc = std::max(max_inc, d);
+                        min_inc = std::min(min_inc, d);
+                    }
+                    double mi2 = incr[ee] - x[ee];
+                    if (max_inc > 0 && mi2 > max_inc) incr[ee] = max_inc + x[ee];
+                    else if (max_inc < 0 && mi2 > 0) incr[ee] = x[ee];
+                    else if (min_inc < 0 && mi2 < min_inc)
+                        incr[ee] = min_inc + x[ee];
+                    else if (min_inc > 0 && mi2 < 0) incr[ee] = x[ee];
+                }
+            }
+            for (int ee = 0; ee < E; ee++) {
+                double an = mean + incr[ee];
+                if (!std::isfinite(an)) { okp = false; break; }
+            }
+            if (!okp) continue;
+            for (int ee = 0; ee < E; ee++) oi[ee] = (float)(mean + incr[ee]);
+        }
+    });
+}
+
+}  // extern "C"

@@ -128,6 +128,29 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
     origin = _origin(bpoints)
     p1_all = _device_fields(bpoints, structure, origin)
     o_fields = _device_fields(opts, structure, origin)
+
+    # Threaded native solver (double-precision local algebra like the
+    # reference's Armadillo path) for the product-kernel structures;
+    # see api/oi.py. The reference's EnSI is single-threaded by
+    # necessity (OMP disabled, oi_ensi.cpp:203-206).
+    from .oi import _native_kernel_type
+    kt = _native_kernel_type(structure)
+    if on_host() and kt is not None:
+        res_nat = _ensi_native(
+            bpoints, opts, loc, structure, kt,
+            {k: np.asarray(v) for k, v in p1_all.items()},
+            {k: np.asarray(v) for k, v in o_fields.items()},
+            pobs[kidx], psigmas[kidx],
+            y_hat[kidx].astype(np.float32),
+            np.ascontiguousarray(y_anom[kidx][:, valid_ens], np.float32),
+            flat_bg[:, valid_ens], max_points, allow_extrapolation,
+            chunked, cand, mask, obs_key)
+        if res_nat is not None:
+            out_valid, n_cond = res_nat
+            _warn_condition(n_cond)
+            output[:, valid_ens] = out_valid
+            return output.reshape(background.shape)
+
     j_obs = jnp.asarray(pobs[kidx])
     j_sig = jnp.asarray(psigmas[kidx])
     j_yanom = jnp.asarray(y_anom[kidx][:, valid_ens])
@@ -173,3 +196,54 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
     _warn_condition(int(sum(int(np.asarray(jnp.sum(c))) for c in conds)))
     output[:, valid_ens] = out_valid
     return output.reshape(background.shape)
+
+
+def _ensi_native(bpoints, opts, loc, structure, kt, p1_np, o_np, obs_k,
+                 sig_k, yhat_k, yanom_k, bg_valid, max_points,
+                 allow_extrapolation, chunked, cand, mask, obs_key):
+    """Run the threaded native EnSI solve; (analysis, n_cond) or None."""
+    from .. import native
+    if native.get_lib() is None:
+        return None
+    n = bpoints.size()
+
+    def with_scales(fields, count):
+        out = dict(fields)
+        for key in ("h", "v", "w"):
+            if key not in out:
+                out[key] = np.full(count, float(getattr(structure, key,
+                                                        0.0)), np.float32)
+        return out
+
+    gfx = with_scales(p1_np, n)
+    gfx["loc"] = np.asarray(loc, np.float32)
+    ofx = with_scales(o_np, opts.size())
+    ofx["loc"] = np.asarray(
+        structure.localization_np(opts.lats, opts.lons), np.float32)
+    bg_valid = np.ascontiguousarray(bg_valid, np.float32)
+
+    if not chunked:
+        res = native.oi_ensi_host_solve(
+            gfx, ofx, obs_k, sig_k, yhat_k, yanom_k, cand, mask, kt,
+            int(max_points), bool(allow_extrapolation), bg_valid)
+        if res is None:
+            return None
+        return res[0], int(res[1].sum())
+
+    out = bg_valid.copy()
+    n_cond = 0
+    for start in range(0, n, _BLOCK):
+        end = min(start + _BLOCK, n)
+        res_b = _candidates_block(bpoints, opts, loc, start, end, obs_key)
+        if res_b is None:
+            continue
+        gfb = {k: v[start:end] for k, v in gfx.items()}
+        res = native.oi_ensi_host_solve(
+            gfb, ofx, obs_k, sig_k, yhat_k, yanom_k, res_b[0], res_b[1],
+            kt, int(max_points), bool(allow_extrapolation),
+            bg_valid[start:end])
+        if res is None:
+            return None
+        out[start:end] = res[0]
+        n_cond += int(res[1].sum())
+    return out, n_cond

@@ -99,6 +99,9 @@ def get_lib():
         lib.oi_host_solve.argtypes = (
             [c_p] * 9 + [c_i64] + [c_p] * 12 + [c_p, c_p, c_i64]
             + [c_i32, c_i32, c_i32] + [c_p] * 4)
+        lib.oi_ensi_host_solve.argtypes = (
+            [c_p] * 9 + [c_i64] + [c_p] * 13 + [c_p, c_p, c_i64]
+            + [c_i32, c_i32, c_i32, c_i32] + [c_p] * 3)
         _lib = lib
         return _lib
 
@@ -402,3 +405,38 @@ def oi_host_solve(gfx, ofx, obs, oyb, oratio, cand, mask, kernel_type,
         *[_ptr(a) for a in bgarrs],
         _ptr(out), _ptr(avar))
     return out, avar
+
+
+def oi_ensi_host_solve(gfx, ofx, obs, sigmas, yhat, yanom, cand, mask,
+                       kernel_type, max_points, allow_extrapolation,
+                       background):
+    """Threaded per-gridpoint EnSI solve (csrc oi_ensi_host_solve).
+
+    background/yanom: (n, E)/(P, E) f32 row-major. Returns
+    (analysis (n, E), cond_bad (n,) uint8) or None when unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    background = np.ascontiguousarray(background, np.float32)
+    n, n_ens = background.shape
+    yanom = np.ascontiguousarray(yanom, np.float32)
+    out = np.empty((n, n_ens), np.float32)
+    cond_bad = np.empty(n, np.uint8)
+    cand = np.ascontiguousarray(cand, np.int32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    kpad = cand.shape[1]
+    garrs = [_f32c(gfx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
+                                     "v", "w", "loc")]
+    oarrs = [_f32c(ofx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
+                                     "v", "w", "loc")]
+    varrs = [_f32c(obs), _f32c(sigmas), _f32c(yhat), yanom]
+    lib.oi_ensi_host_solve(
+        *[_ptr(a) for a in garrs], n,
+        *[_ptr(a) for a in oarrs],
+        *[_ptr(a) for a in varrs],
+        _ptr(cand), _ptr(mask), kpad,
+        int(kernel_type), int(max_points), int(bool(allow_extrapolation)),
+        int(n_ens),
+        _ptr(background), _ptr(out), _ptr(cond_bad))
+    return out, cond_bad

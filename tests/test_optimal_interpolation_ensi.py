@@ -121,3 +121,51 @@ class TestBasic:
             gridpp.optimal_interpolation_ensi(
                 bpoints, np.zeros([2, 3]), gridpp.Points([0], [0]), [1],
                 [1], np.zeros([1, 3]), gridpp.BarnesStructure(1000), 10)
+
+
+class TestNativeHostSolver:
+    """Threaded native EnSI solver vs the XLA path."""
+
+    def _problem(self, seed=0, ny=30, nx=36, p=120, e=6):
+        rng = np.random.default_rng(seed)
+        lats, lons = np.meshgrid(np.linspace(55, 58, ny),
+                                 np.linspace(5, 8, nx), indexing="ij")
+        grid = gridpp.Grid(lats, lons)
+        points = gridpp.Points(rng.uniform(55.05, 57.95, p),
+                               rng.uniform(5.05, 7.95, p))
+        bg = rng.normal(280, 5, (ny, nx, e)).astype(np.float32)
+        nn = grid.nearest_map(points.lats, points.lons)
+        pback = bg.reshape(-1, e)[nn]
+        pobs = (pback.mean(axis=1) + rng.normal(0, 1, p)).astype(np.float32)
+        pobs[::13] = np.nan
+        sig = np.full(p, 1.2, np.float32)
+        return grid, points, bg, pobs, sig, pback
+
+    @pytest.mark.parametrize("allow", [True, False])
+    def test_matches_xla(self, allow, monkeypatch):
+        from gridpp_tpu.api import oi as oi_api
+        grid, points, bg, pobs, sig, pback = self._problem(seed=allow)
+        structure = gridpp.BarnesStructure(25000.0)
+        out_nat = gridpp.optimal_interpolation_ensi(
+            grid, bg, points, pobs, sig, pback, structure, 8, allow)
+        monkeypatch.setattr(oi_api, "_native_kernel_type", lambda s: None)
+        out_xla = gridpp.optimal_interpolation_ensi(
+            grid, bg, points, pobs, sig, pback, structure, 8, allow)
+        close = np.isclose(out_nat, out_xla, atol=5e-4, rtol=1e-4,
+                           equal_nan=True)
+        # rank/radius-boundary flips can touch isolated cells (see the
+        # deterministic solver's parity notes); bound fraction and size
+        assert close.mean() > 0.99
+        rel = np.abs(out_nat - out_xla) / np.maximum(np.abs(out_xla), 1.0)
+        assert np.nanmax(rel) < 5e-3
+
+    def test_conditioning_guard_native(self, capsys):
+        # zero sigmas blow up Rinv: native must fall back + warn like the
+        # XLA path (oi_ensi.cpp:557-566)
+        grid, points, bg, pobs, sig, pback = self._problem(seed=3)
+        structure = gridpp.BarnesStructure(25000.0)
+        out = gridpp.optimal_interpolation_ensi(
+            grid, bg, points, pobs, np.zeros_like(sig), pback,
+            structure, 8)
+        np.testing.assert_array_equal(out, bg)
+        assert "Condition number error" in capsys.readouterr().out
