@@ -189,6 +189,17 @@ def _resolved_fields(pts: Points, structure, origin=None) -> dict:
     return fields
 
 
+def _with_scales(fields, structure, count):
+    """Field dict + per-point h/v/w arrays (scalar structures broadcast
+    their scale attributes) for the native solvers."""
+    out = dict(fields)
+    for key in ("h", "v", "w"):
+        if key not in out:
+            out[key] = np.full(count, float(getattr(structure, key, 0.0)),
+                               np.float32)
+    return out
+
+
 def _native_kernel_type(structure):
     """Native rho-kernel id for structures the C++ OI solver supports.
 
@@ -214,17 +225,9 @@ def _oi_native(bpoints, opts, loc, structure, kt, p1_np, o_np, pobs_k,
         return None
     n = bpoints.size()
 
-    def with_scales(fields, pts, count):
-        out = dict(fields)
-        for key in ("h", "v", "w"):
-            if key not in out:
-                out[key] = np.full(count, float(getattr(structure, key,
-                                                        0.0)), np.float32)
-        return out
-
-    gfx = with_scales(p1_np, bpoints, n)
+    gfx = _with_scales(p1_np, structure, n)
     gfx["loc"] = np.asarray(loc, np.float32)
-    ofx = with_scales(o_np, opts, opts.size())
+    ofx = _with_scales(o_np, structure, opts.size())
     ofx["loc"] = np.asarray(
         structure.localization_np(opts.lats, opts.lons), np.float32)
 
@@ -380,8 +383,17 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
         avars.append(avar_b)
     if len(outs) == 1:
         return np.asarray(outs[0]), np.asarray(avars[0])
-    output = np.concatenate([np.asarray(o) for o in outs])
-    avar = np.concatenate([np.asarray(a) for a in avars])
+    if host:
+        # XLA:CPU outputs: host concatenate (no link to cross)
+        output = np.concatenate([np.asarray(o) for o in outs])
+        avar = np.concatenate([np.asarray(a) for a in avars])
+    else:
+        # keep blocks on device; ONE transfer at the end (tunneled
+        # links pay large latency per host-device crossing)
+        output = np.asarray(jnp.concatenate(
+            [jnp.asarray(o) for o in outs]))
+        avar = np.asarray(jnp.concatenate(
+            [jnp.asarray(a) for a in avars]))
     return output, avar
 
 

@@ -207,17 +207,10 @@ def _ensi_native(bpoints, opts, loc, structure, kt, p1_np, o_np, obs_k,
         return None
     n = bpoints.size()
 
-    def with_scales(fields, count):
-        out = dict(fields)
-        for key in ("h", "v", "w"):
-            if key not in out:
-                out[key] = np.full(count, float(getattr(structure, key,
-                                                        0.0)), np.float32)
-        return out
-
-    gfx = with_scales(p1_np, n)
+    from .oi import _with_scales
+    gfx = _with_scales(p1_np, structure, n)
     gfx["loc"] = np.asarray(loc, np.float32)
-    ofx = with_scales(o_np, opts.size())
+    ofx = _with_scales(o_np, structure, opts.size())
     ofx["loc"] = np.asarray(
         structure.localization_np(opts.lats, opts.lons), np.float32)
     bg_valid = np.ascontiguousarray(bg_valid, np.float32)

@@ -280,8 +280,6 @@ class Pipeline:
                 return self._run_fast(background, pobs)
             pratios = self._init_ratios
         if pratios is None:
-            pratios = self._init_ratios
-        if pratios is None:
             raise ValueError("pratios required (Pipeline built without "
                              "ratios)")
         pratios = jnp.asarray(np.asarray(pratios, np.float32))

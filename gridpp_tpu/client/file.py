@@ -262,7 +262,7 @@ class FileNetcdf(File):
     def _load_attrs(self):
         if self._backend == "scipy":
             self._gattrs = {
-                k: (v.decode() if isinstance(v, bytes) else str(v))
+                k: (v.decode() if isinstance(v, bytes) else v)
                 for k, v in dict(getattr(self._nc, "_attributes",
                                          {})).items()}
             self._vattrs = {
@@ -328,11 +328,13 @@ class FileNetcdf(File):
         fills = [getattr(var, a, None)
                  for a in ("_FillValue", "missing_value")]
         if all(f is None for f in fills):
-            fills = [9.9692099683868690e+36]
-        # the legacy client's missing-value convention is -999
-        # (client Util::MV; e.g. tests/files/validNetcdfAnalysis.nc
-        # stores missing members as raw -999 with no fill attribute)
-        fills.append(-999.0)
+            # no declared fill: the library default plus the legacy
+            # client's missing-value convention of -999 (client
+            # Util::MV; e.g. tests/files/validNetcdfAnalysis.nc stores
+            # missing members as raw -999 with no fill attribute). A
+            # DECLARED fill suppresses the -999 heuristic so legitimate
+            # -999 data survives.
+            fills = [9.9692099683868690e+36, -999.0]
         for fv in fills:
             if fv is not None:
                 data = np.where(data == np.float32(fv), np.nan, data)

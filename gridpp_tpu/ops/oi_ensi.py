@@ -170,11 +170,19 @@ def _ensi_update(structure, sel_valid, l_rho, l_obs, l_sig, l_y, l_yhat,
 
     if not allow_extrapolation:
         # Reference quirk (oi_ensi.cpp:520-537): lY[e] is the e-th element
-        # of the column-major flattened Y matrix.
+        # of the column-major flattened Y matrix - with the ACTUAL
+        # per-gridpoint selection count as the row stride, so the member
+        # index decomposes as (obs e % cnt, member e // cnt). A fixed
+        # s_cap stride would read garbage-gathered padded slots whenever
+        # fewer than max_points obs are in range (matches the native
+        # solver and the reference; found in round-4 self-review).
         s = l_y.shape[1]
-        flat = jnp.reshape(jnp.swapaxes(l_y, 1, 2), (b, s * e))
+        cntv = jnp.maximum(jnp.sum(sel_valid, axis=1), 1)  # (B,)
         e_idx = jnp.arange(e)
-        y_elem = flat[:, e_idx % (s * e)]
+        obs_i = e_idx[None, :] % cntv[:, None]       # (B, E)
+        mem_j = e_idx[None, :] // cntv[:, None]      # (B, E), < E
+        flat2 = jnp.reshape(l_y, (b, s * e))         # row-major (S, E)
+        y_elem = jnp.take_along_axis(flat2, obs_i * e + mem_j, axis=1)
         diff = jnp.where(sel_valid[:, :, None],
                          (l_obs - l_yhat)[:, :, None]
                          - y_elem[:, None, :], jnp.nan)

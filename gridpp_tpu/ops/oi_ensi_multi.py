@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .oi import _gj_solve_batch_last
+from .oi import _gj_solve_batch_last, _kernel_cache
 from .oi_ensi import _inv_sqrt_ns_m, _mm, _mv
 
 __all__ = ["make_ebe_kernel", "make_ebesc_kernel", "make_utem_kernel",
@@ -278,10 +278,15 @@ def _utem_core(sel_valid, l_rho, l_obs, l_r, l_yhat, l_y, l_yc,
                                      keepdims=True)
 
     if not allow_extrapolation:
+        # column-major lY[e] with the ACTUAL selection count as the row
+        # stride (see ops/oi_ensi.py) - not the padded s_cap
         s = l_y.shape[1]
-        flat = jnp.reshape(jnp.swapaxes(l_y, 1, 2), (b, s * e))
+        cntv = jnp.maximum(jnp.sum(sel_valid, axis=1), 1)
         e_idx = jnp.arange(e)
-        y_elem = flat[:, e_idx % (s * e)]
+        obs_i = e_idx[None, :] % cntv[:, None]
+        mem_j = e_idx[None, :] // cntv[:, None]
+        flat2 = jnp.reshape(l_y, (b, s * e))
+        y_elem = jnp.take_along_axis(flat2, obs_i * e + mem_j, axis=1)
         diff = jnp.where(sel_valid[:, :, None],
                          (l_obs - l_yhat)[:, :, None]
                          - y_elem[:, None, :], jnp.nan)
@@ -304,11 +309,6 @@ def _utem_core(sel_valid, l_rho, l_obs, l_r, l_yhat, l_y, l_yc,
     cond_bad = any_valid & ~cond_ok
     ok = any_valid & cond_ok & jnp.all(jnp.isfinite(analysis), axis=1)
     return jnp.where(ok[:, None], analysis, background), cond_bad
-
-
-def _kernel_cache(structure, name, key):
-    cache = structure.__dict__.setdefault(name, {})
-    return cache, cache.get(key)
 
 
 def make_member_serve_sweep(structure, field_keys, s_cap: int, block: int,

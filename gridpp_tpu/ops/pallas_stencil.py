@@ -596,12 +596,15 @@ def neighbourhood_quantile_fast(x: jax.Array, quantile,
         out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, xpad), jnp.float32),  # double buffer
+            # single-buffer (db=False in the kernel): the long per-block
+            # compute hides the DMA; a second slot would be dead VMEM in
+            # the most VMEM-pressured kernel
+            pltpu.VMEM((1, rows, xpad), jnp.float32),
             pltpu.VMEM((by, outw), jnp.float32),
             pltpu.VMEM((2, by, outw), jnp.float32),
             pltpu.VMEM((4, by, outw), jnp.float32),
             pltpu.VMEM((t, by, outw), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
     )(jnp.asarray(thresholds, jnp.float32),

@@ -493,3 +493,43 @@ class TestFileNetcdf:
         f.write(["air_temperature_2m"])
         f2 = FileNetcdf(copy10)
         assert len(f2.get_global_attribute("history")) < 1e7
+
+
+class TestFileNetcdfRegressions:
+    """Round-4 self-review regressions."""
+
+    def _write_nc(self, path):
+        from scipy.io import netcdf_file
+        nc = netcdf_file(str(path), "w", mmap=False)
+        nc.createDimension("y", 2)
+        nc.createDimension("x", 3)
+        lat = nc.createVariable("latitude", "d", ("y", "x"))
+        lat[:] = np.arange(6).reshape(2, 3)
+        lon = nc.createVariable("longitude", "d", ("y", "x"))
+        lon[:] = np.arange(6).reshape(2, 3) * 2
+        v = nc.createVariable("air_temperature_2m", "f", ("y", "x"))
+        v._FillValue = np.float32(1e20)
+        # legitimate -999 data under a DECLARED fill value
+        v[:] = np.array([[-999.0, 1.0, 2.0], [3.0, 1e20, 5.0]], np.float32)
+        nc.version = np.float64(4.2)  # numeric global attribute
+        nc.close()
+
+    def test_declared_fill_preserves_minus999(self, tmp_path):
+        path = tmp_path / "t.nc"
+        self._write_nc(path)
+        f = FileNetcdf(str(path))
+        field = f.get_field("air_temperature_2m")
+        assert field[0, 0, 0, 0] == -999.0   # NOT converted to NaN
+        assert np.isnan(field[0, 1, 1, 0])   # the declared fill is NaN
+
+    def test_numeric_global_attr_roundtrip(self, tmp_path):
+        from scipy.io import netcdf_file
+        path = tmp_path / "t.nc"
+        self._write_nc(path)
+        f = FileNetcdf(str(path))
+        f.write(["air_temperature_2m"])
+        nc = netcdf_file(str(path), "r", mmap=False)
+        ver = dict(nc._attributes)["version"]
+        # numeric attributes keep their numeric type through write()
+        assert not isinstance(ver, (bytes, str))
+        assert float(np.asarray(ver)) == 4.2
