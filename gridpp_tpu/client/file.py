@@ -398,10 +398,18 @@ class FileNetcdf(File):
         """
         from scipy.io import netcdf_file
         updates = {}
+        new_vars = []
         for name in variables:
             if name in self._fields and name in self._nc.variables:
                 var = self._nc.variables[name]
                 updates[name] = _fit_to_dims(self._fields[name], var.shape)
+            elif name in self._fields:
+                # NEW variable (e.g. `-vi old -v new` renames, diagnose
+                # calibrators): created over the file's resolved
+                # time/y/x[/ens] dims, like the reference's
+                # initNewVariable (File/Netcdf.cpp, Testing/FileNetcdf
+                # createNewVariable)
+                new_vars.append(name)
         # Snapshot everything before closing the read handle. Attributes
         # come from the mutable _gattrs/_vattrs (set_attribute API).
         dims = dict(self._nc.dimensions)
@@ -417,6 +425,33 @@ class FileNetcdf(File):
                      for k, v in self._vattrs.get(name, {}).items()}
             varspec.append((name, var.dimensions, var.data.dtype, data,
                             attrs))
+        for name in new_vars:
+            field = self._fields[name]  # (T, Y, X, E)
+            vdims = []
+            data = field
+            if self._tdim in dims and \
+                    dims.get(self._tdim) in (None, field.shape[0]):
+                vdims.append(self._tdim)
+            else:
+                data = data[0]
+            ylike = self._ydim if self._ydim in dims else None
+            xlike = self._xdim if self._xdim in dims else None
+            if ylike:
+                vdims.append(ylike)
+            else:
+                data = np.squeeze(data, axis=-3)
+            if xlike:
+                vdims.append(xlike)
+            else:
+                data = np.squeeze(data, axis=-2)
+            if self._edim in dims and field.shape[-1] > 1 and \
+                    dims.get(self._edim) in (None, field.shape[-1]):
+                vdims.append(self._edim)
+            else:
+                data = data[..., 0]
+            varspec.append((name, tuple(vdims), np.dtype(np.float32),
+                            np.ascontiguousarray(data, np.float32), {}))
+            self._vattrs.setdefault(name, {})
         gattrs = {k: (v.encode() if isinstance(v, str) else v)
                   for k, v in self._gattrs.items()}
         self._nc.close()

@@ -364,3 +364,22 @@ class TestNetcdfWriteFidelity:
             orig.get_field("precipitation_amount"))
         np.testing.assert_allclose(np.asarray(back.times),
                                    np.asarray(orig.times))
+
+    def test_new_variable_created(self, tmp_path):
+        # `-vi old -v new` must CREATE the output variable in the file
+        # (reference initNewVariable, Testing/FileNetcdf.cpp
+        # createNewVariable); write() previously dropped unknown names.
+        target = str(tmp_path / "nv.nc")
+        shutil.copy(os.path.join(FIXTURES, "10x10.nc"), target)
+        rc = main([target, "-vi", "air_temperature_2m", "-v", "t2",
+                   "-d", "nearestNeighbour",
+                   "-c", "neighbourhood", "radius=1"])
+        assert rc == 0
+        back = FileNetcdf(target)
+        assert back.has_variable("t2")
+        t2 = back.get_field("t2")
+        orig = back.get_field("air_temperature_2m")
+        assert t2.shape == orig.shape[:3] + (t2.shape[3],)
+        assert np.isfinite(t2).all()
+        # smoothed: differs from the input variable
+        assert not np.allclose(t2[..., 0], orig[..., 0])
