@@ -170,6 +170,13 @@ class Setup:
                     i += 1
                 in_name, in_var_opts = (pending_input or
                                         (name, Options()))
+                # resolve the INPUT variable through -va aliases
+                # (Setup.cpp:304-316)
+                if in_name in self.variable_aliases:
+                    alias = self.variable_aliases[in_name]
+                    print(f"Using variable alias for {in_name}")
+                    in_name = alias.name
+                    in_var_opts = alias.options
                 pending_input = None
                 pending_par_target = None
                 current_var = VariableConfiguration(

@@ -533,3 +533,16 @@ class TestFileNetcdfRegressions:
         # numeric attributes keep their numeric type through write()
         assert not isinstance(ver, (bytes, str))
         assert float(np.asarray(ver)) == 4.2
+
+
+class TestSetupAliasResolution:
+    def test_alias_resolves_input_variable(self, capsys):
+        # Setup.cpp:304-316: an input name matching a -va alias uses the
+        # alias's underlying variable
+        s = Setup(args(f"{fx('10x10.nc')} {fx('10x10.nc')} "
+                       "-va tlevel1 name=air_temperature_2m level=1 "
+                       "-vi tlevel1 -v out -d nearestNeighbour"))
+        vc = s.variable_configurations[0]
+        assert vc.input_variable == "air_temperature_2m"
+        assert vc.variable == "out"
+        assert "Using variable alias" in capsys.readouterr().out
