@@ -1280,3 +1280,342 @@ void oi_ensi_host_solve(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host ensi_multi solvers (reference src/api/oi_ensi_multi.cpp; mirror the
+// XLA kernels in gridpp_tpu/ops/oi_ensi_multi.py). Threaded per-gridpoint;
+// double-precision local algebra.
+
+extern "C" {
+
+// ebe / ebesc member-by-member update (_member_update): one gain solve per
+// gridpoint applied to E member innovations. use_z=1 (ebe): pair corr is the
+// localization Schur ensemble product loc o (z z^T) and the numerator row is
+// rho o (x_l . z^T) (oi_ensi_multi.cpp:524-579); use_z=0 (ebesc): structure
+// correlations directly (629-860).
+void oi_member_host_solve(
+    const float* gx, const float* gy, const float* gz,
+    const float* gelev, const float* glaf,
+    const float* gh, const float* gv, const float* gw, const float* gloc,
+    int64_t n,
+    const float* ox, const float* oy, const float* oz,
+    const float* oelev, const float* olaf,
+    const float* oh, const float* ov, const float* ow, const float* oloc,
+    const float* oratio,
+    const float* innov,   // (P, E) member innovations
+    const float* zr,      // (P, E) normalized obs anomalies (use_z)
+    const float* xl,      // (n, E) normalized grid anomalies (use_z)
+    const float* bratios, // (n,)
+    const int32_t* cand, const uint8_t* mask, int64_t kpad,
+    int kernel_type, int max_points, int allow_extrapolation, int n_ens,
+    int use_z,
+    const float* background,  // (n, E)
+    float* out) {
+    const int E = n_ens;
+    parallel_rows(n, [&](int64_t s0, int64_t e0) {
+        std::vector<int> sel(kpad), order(kpad), gsel;
+        std::vector<float> rho(kpad);
+        std::vector<double> m, g, lk, dx;
+        for (int64_t i = s0; i < e0; i++) {
+            const float* bg = background + i * E;
+            float* oi = out + i * E;
+            for (int j = 0; j < E; j++) oi[j] = bg[j];
+            const int32_t* ci = cand + i * kpad;
+            const uint8_t* mi = mask + i * kpad;
+            int cnt = 0;
+            for (int64_t k = 0; k < kpad; k++) {
+                if (!mi[k]) continue;
+                int o = ci[k];
+                float r = pair_corr(kernel_type,
+                                    gx[i] - ox[o], gy[i] - oy[o],
+                                    gz[i] - oz[o], gelev[i], oelev[o],
+                                    glaf[i], olaf[o],
+                                    gh[i], gv[i], gw[i], gloc[i]);
+                if (!(r > 0.0f)) continue;
+                sel[cnt] = o;
+                rho[cnt] = r;
+                cnt++;
+            }
+            if (cnt == 0) continue;
+            int S = (max_points > 0 && max_points < cnt) ? max_points : cnt;
+            for (int k = 0; k < cnt; k++) order[k] = k;
+            std::stable_sort(order.begin(), order.begin() + cnt,
+                             [&](int a, int b) { return rho[a] > rho[b]; });
+            gsel.assign(S, 0);
+            g.assign(S, 0.0);
+            for (int k = 0; k < S; k++) {
+                gsel[k] = sel[order[k]];
+                if (use_z) {
+                    // numerator: rho o (x_l . z^T)
+                    double acc = 0.0;
+                    for (int e = 0; e < E; e++)
+                        acc += (double)xl[(size_t)i * E + e]
+                             * (double)zr[(size_t)gsel[k] * E + e];
+                    g[k] = (double)rho[order[k]] * acc;
+                } else {
+                    g[k] = rho[order[k]];
+                }
+            }
+            // augmented (S, S+1) system
+            m.assign((size_t)S * (S + 1), 0.0);
+            for (int r = 0; r < S; r++) {
+                int orow = gsel[r];
+                for (int c = 0; c < S; c++) {
+                    int ocol = gsel[c];
+                    double pc = pair_corr(
+                        kernel_type, ox[orow] - ox[ocol],
+                        oy[orow] - oy[ocol], oz[orow] - oz[ocol],
+                        oelev[orow], oelev[ocol], olaf[orow], olaf[ocol],
+                        oh[orow], ov[orow], ow[orow], oloc[orow]);
+                    if (use_z) {
+                        double acc = 0.0;
+                        for (int e = 0; e < E; e++)
+                            acc += (double)zr[(size_t)orow * E + e]
+                                 * (double)zr[(size_t)ocol * E + e];
+                        pc *= acc;
+                    }
+                    m[(size_t)r * (S + 1) + c] = pc;
+                }
+                m[(size_t)r * (S + 1) + r] += oratio[orow];
+                m[(size_t)r * (S + 1) + S] = g[r];
+            }
+            for (int k = 0; k < S; k++) {
+                double invp = 1.0 / m[(size_t)k * (S + 1) + k];
+                for (int c = 0; c <= S; c++)
+                    m[(size_t)k * (S + 1) + c] *= invp;
+                for (int r = 0; r < S; r++) {
+                    if (r == k) continue;
+                    double f = m[(size_t)r * (S + 1) + k];
+                    if (f == 0.0) continue;
+                    for (int c = 0; c <= S; c++)
+                        m[(size_t)r * (S + 1) + c] -=
+                            f * m[(size_t)k * (S + 1) + c];
+                }
+            }
+            lk.assign(S, 0.0);
+            for (int k = 0; k < S; k++) lk[k] = m[(size_t)k * (S + 1) + S];
+            dx.assign(E, 0.0);
+            double br = bratios[i];
+            bool fin = true;
+            for (int e = 0; e < E; e++) {
+                double acc = 0.0;
+                for (int k = 0; k < S; k++)
+                    acc += lk[k] * (double)innov[(size_t)gsel[k] * E + e];
+                dx[e] = br * acc;
+                if (!allow_extrapolation) {
+                    double max_inc =
+                        -std::numeric_limits<double>::infinity();
+                    double min_inc =
+                        std::numeric_limits<double>::infinity();
+                    for (int k = 0; k < S; k++) {
+                        double d = innov[(size_t)gsel[k] * E + e];
+                        max_inc = std::max(max_inc, d);
+                        min_inc = std::min(min_inc, d);
+                    }
+                    if (max_inc > 0 && dx[e] > max_inc) dx[e] = max_inc;
+                    else if (max_inc < 0 && dx[e] > 0) dx[e] = 0.0;
+                    else if (min_inc < 0 && dx[e] < min_inc) dx[e] = min_inc;
+                    else if (min_inc > 0 && dx[e] < 0) dx[e] = 0.0;
+                }
+                if (!std::isfinite(dx[e])) fin = false;
+            }
+            if (!fin) continue;
+            for (int e = 0; e < E; e++) oi[e] = (float)(bg[e] + dx[e]);
+        }
+    });
+}
+
+// utem ETKF update (_utem_core / oi_ensi_multi.cpp:862-1311): like EnSI but
+// Rinv uses the error-variance RATIOS, Pinv gets + I (not +(E-1)I),
+// correlation anomalies come from a second ensemble, and the increment is
+// scaled by the per-point ensemble std (population) and bratios.
+void oi_utem_host_solve(
+    const float* gx, const float* gy, const float* gz,
+    const float* gelev, const float* glaf,
+    const float* gh, const float* gv, const float* gw, const float* gloc,
+    int64_t n,
+    const float* ox, const float* oy, const float* oz,
+    const float* oelev, const float* olaf,
+    const float* oh, const float* ov, const float* ow, const float* oloc,
+    const float* obs, const float* oratio, const float* yhat,
+    const float* yanom,   // (P, E) physical anomalies (pbackground)
+    const float* ycorr,   // (P, E) normalized anomalies (pbackground_corr)
+    const float* bratios, // (n,)
+    const int32_t* cand, const uint8_t* mask, int64_t kpad,
+    int kernel_type, int max_points, int allow_extrapolation, int n_ens,
+    double min_std,
+    const float* background,       // (n, E)
+    const float* background_corr,  // (n, E)
+    float* out,                    // (n, E)
+    uint8_t* cond_bad) {
+    const int E = n_ens;
+    parallel_rows(n, [&](int64_t s0, int64_t e0) {
+        std::vector<int> sel(kpad), order(kpad), gsel;
+        std::vector<float> rho(kpad);
+        std::vector<double> Yc, C, Pinv, Qv, lam, cv, wv, tmp, xc, inno,
+            g, incr;
+        for (int64_t i = s0; i < e0; i++) {
+            const float* bg = background + i * E;
+            const float* bgc = background_corr + i * E;
+            float* oi = out + i * E;
+            for (int j = 0; j < E; j++) oi[j] = bg[j];
+            cond_bad[i] = 0;
+            const int32_t* ci = cand + i * kpad;
+            const uint8_t* mi = mask + i * kpad;
+            int cnt = 0;
+            for (int64_t k = 0; k < kpad; k++) {
+                if (!mi[k]) continue;
+                int o = ci[k];
+                float r = pair_corr(kernel_type,
+                                    gx[i] - ox[o], gy[i] - oy[o],
+                                    gz[i] - oz[o], gelev[i], oelev[o],
+                                    glaf[i], olaf[o],
+                                    gh[i], gv[i], gw[i], gloc[i]);
+                if (!(r > 0.0f)) continue;
+                sel[cnt] = o;
+                rho[cnt] = r;
+                cnt++;
+            }
+            if (cnt == 0) continue;
+            int S = (max_points > 0 && max_points < cnt) ? max_points : cnt;
+            for (int k = 0; k < cnt; k++) order[k] = k;
+            std::stable_sort(order.begin(), order.begin() + cnt,
+                             [&](int a, int b) { return rho[a] > rho[b]; });
+            gsel.assign(S, 0);
+            g.assign(S, 0.0);
+            inno.assign(S, 0.0);
+            for (int k = 0; k < S; k++) {
+                gsel[k] = sel[order[k]];
+                g[k] = rho[order[k]];
+                inno[k] = (double)obs[gsel[k]] - (double)yhat[gsel[k]];
+            }
+            // C = Ycorr^T Rinv with Rinv = rho / ratio; Pinv = C Ycorr + I
+            Yc.assign((size_t)S * E, 0.0);
+            for (int k = 0; k < S; k++)
+                for (int j = 0; j < E; j++)
+                    Yc[(size_t)k * E + j] = ycorr[(size_t)gsel[k] * E + j];
+            C.assign((size_t)E * S, 0.0);
+            for (int k = 0; k < S; k++) {
+                double rinv = g[k] / (double)oratio[gsel[k]];
+                for (int j = 0; j < E; j++)
+                    C[(size_t)j * S + k] = Yc[(size_t)k * E + j] * rinv;
+            }
+            Pinv.assign((size_t)E * E, 0.0);
+            for (int a = 0; a < E; a++)
+                for (int b = 0; b < E; b++) {
+                    double acc = 0.0;
+                    for (int k = 0; k < S; k++)
+                        acc += C[(size_t)a * S + k] * Yc[(size_t)k * E + b];
+                    Pinv[(size_t)a * E + b] = acc;
+                }
+            for (int a = 0; a < E; a++)
+                for (int b = a + 1; b < E; b++) {
+                    double m2 = 0.5 * (Pinv[(size_t)a * E + b]
+                                       + Pinv[(size_t)b * E + a]);
+                    Pinv[(size_t)a * E + b] = m2;
+                    Pinv[(size_t)b * E + a] = m2;
+                }
+            for (int a = 0; a < E; a++) Pinv[(size_t)a * E + a] += 1.0;
+            bool finite = true;
+            for (int a = 0; a < E * E; a++)
+                if (!std::isfinite(Pinv[a])) finite = false;
+            Qv.assign((size_t)E * E, 0.0);
+            lam.assign(E, 0.0);
+            if (!finite || !jacobi_eigh(E, Pinv.data(), lam.data(),
+                                        Qv.data())) {
+                cond_bad[i] = 1;
+                continue;
+            }
+            // w = Q lam^{-1} Q^T (C inno)
+            cv.assign(E, 0.0);
+            for (int a = 0; a < E; a++)
+                for (int k = 0; k < S; k++)
+                    cv[a] += C[(size_t)a * S + k] * inno[k];
+            tmp.assign(E, 0.0);
+            for (int b = 0; b < E; b++) {
+                double acc = 0.0;
+                for (int a = 0; a < E; a++)
+                    acc += Qv[(size_t)a * E + b] * cv[a];
+                tmp[b] = acc / lam[b];
+            }
+            wv.assign(E, 0.0);
+            for (int a = 0; a < E; a++) {
+                double acc = 0.0;
+                for (int b = 0; b < E; b++)
+                    acc += Qv[(size_t)a * E + b] * tmp[b];
+                wv[a] = acc;
+            }
+            // grid-side stats: ens mean/std of background; normalized
+            // anomalies of background_corr (DEFAULT_MIN_STD rules)
+            double mean = 0.0, meanc = 0.0;
+            for (int j = 0; j < E; j++) {
+                mean += bg[j];
+                meanc += bgc[j];
+            }
+            mean /= E;
+            meanc /= E;
+            double var = 0.0, varc = 0.0;
+            for (int j = 0; j < E; j++) {
+                var += (bg[j] - mean) * (bg[j] - mean);
+                varc += (bgc[j] - meanc) * (bgc[j] - meanc);
+            }
+            double ens_std = std::sqrt(var / E);   // population std
+            double stdc = std::sqrt(varc / E);
+            double cf = 1.0 / std::sqrt((double)std::max(E - 1, 1));
+            xc.assign(E, 0.0);
+            if (std::isfinite(stdc) && stdc > min_std)
+                for (int j = 0; j < E; j++)
+                    xc[j] = cf * (bgc[j] - meanc) / (stdc == 0 ? 1 : stdc);
+            // increment = ens_std sqrt(E-1) Q lam^{-1/2} Q^T x_corr
+            //           + bratios (x_corr . w)
+            tmp.assign(E, 0.0);
+            for (int b = 0; b < E; b++) {
+                double acc = 0.0;
+                for (int a = 0; a < E; a++)
+                    acc += Qv[(size_t)a * E + b] * xc[a];
+                tmp[b] = acc / std::sqrt(lam[b]);
+            }
+            double xw = 0.0;
+            for (int j = 0; j < E; j++) xw += xc[j] * wv[j];
+            double sq = std::sqrt((double)(E - 1));
+            double br = bratios[i];
+            incr.assign(E, 0.0);
+            for (int ee = 0; ee < E; ee++) {
+                double wx = 0.0;
+                for (int b = 0; b < E; b++)
+                    wx += Qv[(size_t)ee * E + b] * tmp[b];
+                incr[ee] = ens_std * sq * wx + br * xw;
+            }
+            if (!allow_extrapolation) {
+                for (int ee = 0; ee < E; ee++) {
+                    int obs_i = ee % S;
+                    int mem_j = ee / S;
+                    double yel = yanom[(size_t)gsel[obs_i] * E + mem_j];
+                    double max_inc =
+                        -std::numeric_limits<double>::infinity();
+                    double min_inc =
+                        std::numeric_limits<double>::infinity();
+                    for (int k = 0; k < S; k++) {
+                        double d = inno[k] - yel;
+                        max_inc = std::max(max_inc, d);
+                        min_inc = std::min(min_inc, d);
+                    }
+                    double x_e = bg[ee] - mean;
+                    double mi2 = incr[ee] - x_e;
+                    if (max_inc > 0 && mi2 > max_inc) incr[ee] = max_inc + x_e;
+                    else if (max_inc < 0 && mi2 > 0) incr[ee] = x_e;
+                    else if (min_inc < 0 && mi2 < min_inc)
+                        incr[ee] = min_inc + x_e;
+                    else if (min_inc > 0 && mi2 < 0) incr[ee] = x_e;
+                }
+            }
+            bool okp = true;
+            for (int ee = 0; ee < E; ee++)
+                if (!std::isfinite(mean + incr[ee])) okp = false;
+            if (!okp) continue;
+            for (int ee = 0; ee < E; ee++) oi[ee] = (float)(mean + incr[ee]);
+        }
+    });
+}
+
+}  // extern "C"

@@ -124,6 +124,40 @@ def _validate_multi(bpoints_obj, points, n_ens, pobs, pratios,
                              "mismatch")
 
 
+def _native_member_geom(bpoints, points, keep, structure, p1_all,
+                        o_fields):
+    """gfx/ofx field dicts (+ per-point scales and localization) for the
+    native ensi_multi solvers."""
+    from .oi import _with_scales
+    n = bpoints.size()
+    gfx = _with_scales({k: np.asarray(v) for k, v in p1_all.items()},
+                       structure, n)
+    gfx["loc"] = np.asarray(
+        structure.localization_np(bpoints.lats, bpoints.lons), np.float32)
+    opts = points.subset(keep)
+    ofx = _with_scales({k: np.asarray(v) for k, v in o_fields.items()},
+                       structure, opts.size())
+    ofx["loc"] = np.asarray(
+        structure.localization_np(opts.lats, opts.lons), np.float32)
+    return gfx, ofx
+
+
+def _native_ready(structure):
+    """Native kernel id when the threaded host solver applies, else
+    None (see api/oi.py _native_kernel_type)."""
+    from ._common import on_host
+    from .oi import _native_kernel_type
+    if not on_host():
+        return None
+    kt = _native_kernel_type(structure)
+    if kt is None:
+        return None
+    from .. import native
+    if native.get_lib() is None:
+        return None
+    return kt
+
+
 def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
                                          background_corr, points, pobs,
                                          pratios, pbackground,
@@ -174,6 +208,20 @@ def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
     z_r = _norm_anom(pbackground_corr, valid_ens)[keep]
     x_l = _norm_anom(flat_bgc, valid_ens)
     innov = (pobs[:, valid_ens] - pbackground[:, valid_ens])[keep]
+
+    kt = _native_ready(structure)
+    if kt is not None:
+        from .. import native
+        gfx, ofx = _native_member_geom(bpoints, points, keep, structure,
+                                       p1_all, o_fields)
+        out_nat = native.oi_member_host_solve(
+            gfx, ofx, pratios[keep], innov.astype(np.float32), z_r, x_l,
+            flat_ratios, cand, mask, kt, int(max_points),
+            bool(allow_extrapolation), True, flat_bg[:, valid_ens])
+        if out_nat is not None:
+            output[:, valid_ens] = out_nat
+            return output.reshape(background.shape)
+
     j_obs = jnp.asarray(pobs[keep][:, valid_ens])
     j_ratios = jnp.asarray(pratios[keep])
     j_innov = jnp.asarray(innov.astype(np.float32))
@@ -232,6 +280,20 @@ def optimal_interpolation_ensi_multi_ebesc(bgrid, bratios, background,
         return output.reshape(background.shape)
     keep, cand, mask, p1_all, o_fields = prep
     innov = (pobs[:, valid_ens] - pbackground[:, valid_ens])[keep]
+
+    kt = _native_ready(structure)
+    if kt is not None:
+        from .. import native
+        gfx, ofx = _native_member_geom(bpoints, points, keep, structure,
+                                       p1_all, o_fields)
+        out_nat = native.oi_member_host_solve(
+            gfx, ofx, pratios[keep], innov.astype(np.float32), None, None,
+            flat_ratios, cand, mask, kt, int(max_points),
+            bool(allow_extrapolation), False, flat_bg[:, valid_ens])
+        if out_nat is not None:
+            output[:, valid_ens] = out_nat
+            return output.reshape(background.shape)
+
     j_obs = jnp.asarray(pobs[keep][:, valid_ens])
     j_ratios = jnp.asarray(pratios[keep])
     j_innov = jnp.asarray(innov.astype(np.float32))
@@ -302,6 +364,27 @@ def optimal_interpolation_ensi_multi_utem(bgrid, bratios, background,
     y_hat = pv.mean(axis=1)
     y_anom = np.where(np.isfinite(y_hat)[:, None], pv - y_hat[:, None], 0)
     y_corr = _norm_anom(pbackground_corr, valid_ens)
+
+    kt = _native_ready(structure)
+    if kt is not None:
+        from .. import native
+        gfx, ofx = _native_member_geom(bpoints, points, keep, structure,
+                                       p1_all, o_fields)
+        res_nat = native.oi_utem_host_solve(
+            gfx, ofx, pobs[keep], pratios[keep],
+            y_hat[keep].astype(np.float32),
+            y_anom[keep].astype(np.float32), y_corr[keep], flat_ratios,
+            cand, mask, kt, int(max_points), bool(allow_extrapolation),
+            DEFAULT_MIN_STD, flat_bg[:, valid_ens],
+            flat_bgc[:, valid_ens])
+        if res_nat is not None:
+            out_v, cond_bad = res_nat
+            if int(cond_bad.sum()):
+                from .oi_ensi import _warn_condition
+                _warn_condition(int(cond_bad.sum()))
+            output[:, valid_ens] = out_v
+            return output.reshape(background.shape)
+
     j_obs = jnp.asarray(pobs[keep])
     j_ratios = jnp.asarray(pratios[keep])
     j_yanom = jnp.asarray(y_anom[keep].astype(np.float32))

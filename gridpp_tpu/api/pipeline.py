@@ -278,6 +278,7 @@ class Pipeline:
                     jnp.isfinite(pobs).all()
                     & jnp.isfinite(background).all()):
                 return self._run_fast(background, pobs)
+        if pratios is None:
             pratios = self._init_ratios
         if pratios is None:
             raise ValueError("pratios required (Pipeline built without "

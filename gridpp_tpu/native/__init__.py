@@ -102,6 +102,12 @@ def get_lib():
         lib.oi_ensi_host_solve.argtypes = (
             [c_p] * 9 + [c_i64] + [c_p] * 13 + [c_p, c_p, c_i64]
             + [c_i32, c_i32, c_i32, c_i32] + [c_p] * 3)
+        lib.oi_member_host_solve.argtypes = (
+            [c_p] * 9 + [c_i64] + [c_p] * 14 + [c_p, c_p, c_i64]
+            + [c_i32, c_i32, c_i32, c_i32, c_i32] + [c_p] * 2)
+        lib.oi_utem_host_solve.argtypes = (
+            [c_p] * 9 + [c_i64] + [c_p] * 15 + [c_p, c_p, c_i64]
+            + [c_i32, c_i32, c_i32, c_i32] + [c_f64] + [c_p] * 4)
         _lib = lib
         return _lib
 
@@ -439,4 +445,79 @@ def oi_ensi_host_solve(gfx, ofx, obs, sigmas, yhat, yanom, cand, mask,
         int(kernel_type), int(max_points), int(bool(allow_extrapolation)),
         int(n_ens),
         _ptr(background), _ptr(out), _ptr(cond_bad))
+    return out, cond_bad
+
+
+def _geom_ptrs(fx):
+    return [_f32c(fx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
+                                   "v", "w", "loc")]
+
+
+def oi_member_host_solve(gfx, ofx, oratio, innov, zr, xl, bratios, cand,
+                         mask, kernel_type, max_points,
+                         allow_extrapolation, use_z, background):
+    """Threaded ebe/ebesc member-by-member solve (csrc
+    oi_member_host_solve). Returns analysis (n, E) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    background = np.ascontiguousarray(background, np.float32)
+    n, n_ens = background.shape
+    innov = np.ascontiguousarray(innov, np.float32)
+    p = innov.shape[0]
+    if zr is None:
+        zr = np.zeros((p, n_ens), np.float32)
+    if xl is None:
+        xl = np.zeros((n, n_ens), np.float32)
+    out = np.empty((n, n_ens), np.float32)
+    cand = np.ascontiguousarray(cand, np.int32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    garrs = _geom_ptrs(gfx)
+    oarrs = _geom_ptrs(ofx)
+    varrs = [_f32c(oratio), innov,
+             np.ascontiguousarray(zr, np.float32),
+             np.ascontiguousarray(xl, np.float32),
+             _f32c(bratios)]
+    lib.oi_member_host_solve(
+        *[_ptr(a) for a in garrs], n,
+        *[_ptr(a) for a in oarrs],
+        *[_ptr(a) for a in varrs],
+        _ptr(cand), _ptr(mask), cand.shape[1],
+        int(kernel_type), int(max_points), int(bool(allow_extrapolation)),
+        int(n_ens), int(bool(use_z)),
+        _ptr(background), _ptr(out))
+    return out
+
+
+def oi_utem_host_solve(gfx, ofx, obs, oratio, yhat, yanom, ycorr, bratios,
+                       cand, mask, kernel_type, max_points,
+                       allow_extrapolation, min_std, background,
+                       background_corr):
+    """Threaded utem ETKF solve (csrc oi_utem_host_solve). Returns
+    (analysis (n, E), cond_bad (n,) uint8) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    background = np.ascontiguousarray(background, np.float32)
+    background_corr = np.ascontiguousarray(background_corr, np.float32)
+    n, n_ens = background.shape
+    out = np.empty((n, n_ens), np.float32)
+    cond_bad = np.empty(n, np.uint8)
+    cand = np.ascontiguousarray(cand, np.int32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    garrs = _geom_ptrs(gfx)
+    oarrs = _geom_ptrs(ofx)
+    varrs = [_f32c(obs), _f32c(oratio), _f32c(yhat),
+             np.ascontiguousarray(yanom, np.float32),
+             np.ascontiguousarray(ycorr, np.float32),
+             _f32c(bratios)]
+    lib.oi_utem_host_solve(
+        *[_ptr(a) for a in garrs], n,
+        *[_ptr(a) for a in oarrs],
+        *[_ptr(a) for a in varrs],
+        _ptr(cand), _ptr(mask), cand.shape[1],
+        int(kernel_type), int(max_points), int(bool(allow_extrapolation)),
+        int(n_ens), float(min_std),
+        _ptr(background), _ptr(background_corr),
+        _ptr(out), _ptr(cond_bad))
     return out, cond_bad

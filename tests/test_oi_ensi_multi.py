@@ -396,3 +396,76 @@ class TestMultiEnsiPipeline:
         with pytest.raises(ValueError):
             gridpp.MultiEnsiPipeline(grid, points, structure,
                                      variant="nope")
+
+
+class TestNativeHostSolvers:
+    """Threaded native ebe/ebesc/utem solvers vs the XLA kernels."""
+
+    def _problem(self, seed=0, ny=24, nx=30, p=90, e=5):
+        rng = np.random.default_rng(seed)
+        lats, lons = np.meshgrid(np.linspace(55, 57.5, ny),
+                                 np.linspace(5, 7.5, nx), indexing="ij")
+        grid = gridpp.Grid(lats, lons)
+        points = gridpp.Points(rng.uniform(55.05, 57.45, p),
+                               rng.uniform(5.05, 7.45, p))
+        bg = rng.normal(280, 5, (ny, nx, e)).astype(np.float32)
+        bgc = (bg + rng.normal(0, 1, (ny, nx, e))).astype(np.float32)
+        nn = grid.nearest_map(points.lats, points.lons)
+        pback = bg.reshape(-1, e)[nn]
+        pbackc = bgc.reshape(-1, e)[nn]
+        pobs_e = (pback + rng.normal(0, 1, (p, e))).astype(np.float32)
+        pobs_e[::11] = np.nan
+        ratios = np.full(p, 0.1, np.float32)
+        bratios = np.ones((ny, nx), np.float32)
+        structure = gridpp.BarnesStructure(40000.0)
+        return (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+                ratios, bratios)
+
+    def _assert_close(self, a, b):
+        close = np.isclose(a, b, atol=5e-4, rtol=1e-4, equal_nan=True)
+        assert close.mean() > 0.99, f"{(~close).sum()} mismatches"
+        rel = np.abs(a - b) / np.maximum(np.abs(b), 1.0)
+        assert np.nanmax(rel) < 5e-3
+
+    @pytest.mark.parametrize("allow", [True, False])
+    def test_ebe(self, allow, monkeypatch):
+        from gridpp_tpu.api import oi_ensi_multi as m
+        (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+         ratios, bratios) = self._problem(seed=int(allow))
+        out_nat = gridpp.optimal_interpolation_ensi_multi_ebe(
+            grid, bratios, bg, bgc, points, pobs_e, ratios, pback,
+            pbackc, structure, 8, allow)
+        monkeypatch.setattr(m, "_native_ready", lambda s: None)
+        out_xla = gridpp.optimal_interpolation_ensi_multi_ebe(
+            grid, bratios, bg, bgc, points, pobs_e, ratios, pback,
+            pbackc, structure, 8, allow)
+        self._assert_close(out_nat, out_xla)
+
+    @pytest.mark.parametrize("allow", [True, False])
+    def test_ebesc(self, allow, monkeypatch):
+        from gridpp_tpu.api import oi_ensi_multi as m
+        (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+         ratios, bratios) = self._problem(seed=2 + int(allow))
+        out_nat = gridpp.optimal_interpolation_ensi_multi_ebesc(
+            grid, bratios, bg, points, pobs_e, ratios, pback,
+            structure, 8, allow)
+        monkeypatch.setattr(m, "_native_ready", lambda s: None)
+        out_xla = gridpp.optimal_interpolation_ensi_multi_ebesc(
+            grid, bratios, bg, points, pobs_e, ratios, pback,
+            structure, 8, allow)
+        self._assert_close(out_nat, out_xla)
+
+    @pytest.mark.parametrize("allow", [True, False])
+    def test_utem(self, allow, monkeypatch):
+        from gridpp_tpu.api import oi_ensi_multi as m
+        (grid, points, structure, bg, bgc, pback, pbackc, pobs_e,
+         ratios, bratios) = self._problem(seed=4 + int(allow))
+        pobs = pobs_e[:, 0].copy()
+        out_nat = gridpp.optimal_interpolation_ensi_multi_utem(
+            grid, bratios, bg, bgc, points, pobs, ratios, pback,
+            pbackc, structure, 8, allow)
+        monkeypatch.setattr(m, "_native_ready", lambda s: None)
+        out_xla = gridpp.optimal_interpolation_ensi_multi_utem(
+            grid, bratios, bg, bgc, points, pobs, ratios, pback,
+            pbackc, structure, 8, allow)
+        self._assert_close(out_nat, out_xla)

@@ -281,3 +281,30 @@ def test_ensi_pipeline_smoothing():
                                candidates=n_obs)
     got = pipe(background, pobs, psig)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_flat_pipeline_ratios_default_cycle():
+    """A flat-path (small-grid) Pipeline built with ratios= must serve
+    run_device cycles without re-passing pratios (regression: the
+    general fallback to the construction ratios was dropped twice in
+    round 4; the TPU smoke gate caught it both times)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    ny, nx, p = 16, 20, 12
+    lats, lons = np.meshgrid(np.linspace(55, 56, ny),
+                             np.linspace(5, 6, nx), indexing="ij")
+    grid = gridpp.Grid(lats, lons)
+    points = gridpp.Points(rng.uniform(55.05, 55.95, p),
+                           rng.uniform(5.05, 5.95, p))
+    structure = gridpp.BarnesStructure(30000.0)
+    ratios = np.full(p, 0.1, np.float32)
+    pipe = gridpp.Pipeline(grid, points, structure, halfwidth=3,
+                           statistic=gridpp.Mean, max_points=5,
+                           ratios=ratios)
+    assert pipe._static_w is None  # flat path (no static weights)
+    bg = jnp.asarray(rng.normal(280, 5, (ny, nx)).astype(np.float32))
+    pobs = jnp.asarray(rng.normal(280, 5, p).astype(np.float32))
+    out = pipe.run_device(bg, pobs)  # no pratios passed
+    assert np.isfinite(np.asarray(out)).all()
+    outg = pipe.run_device(bg, pobs, path="general")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(outg))
