@@ -917,6 +917,55 @@ inline float pair_corr(int type, float dx, float dy, float dz,
     return rho;
 }
 
+// Candidate filter + stable top-max_points selection shared by every
+// native OI-family solver. Semantics must exactly mirror the XLA path:
+// rho > 0 reproduces the radius query, and the stable sort keeps
+// candidate order on rho ties like lax.top_k. Returns S (0 = skip) and
+// fills gsel (global obs ids, rho-descending) and g (their rhos).
+struct SelScratch {
+    std::vector<int> sel, order;
+    std::vector<float> rho;
+};
+
+inline int select_topk(
+    const int32_t* ci, const uint8_t* mi, int64_t kpad, int kernel_type,
+    float gxi, float gyi, float gzi, float gelevi, float glafi,
+    float ghi, float gvi, float gwi, float gloci,
+    const float* ox, const float* oy, const float* oz,
+    const float* oelev, const float* olaf,
+    int max_points, SelScratch& sc, std::vector<int>& gsel,
+    std::vector<double>& g) {
+    if ((int64_t)sc.sel.size() < kpad) {
+        sc.sel.resize(kpad);
+        sc.order.resize(kpad);
+        sc.rho.resize(kpad);
+    }
+    int cnt = 0;
+    for (int64_t k = 0; k < kpad; k++) {
+        if (!mi[k]) continue;
+        int o = ci[k];
+        float r = pair_corr(kernel_type, gxi - ox[o], gyi - oy[o],
+                            gzi - oz[o], gelevi, oelev[o], glafi, olaf[o],
+                            ghi, gvi, gwi, gloci);
+        if (!(r > 0.0f)) continue;
+        sc.sel[cnt] = o;
+        sc.rho[cnt] = r;
+        cnt++;
+    }
+    if (cnt == 0) return 0;
+    int S = (max_points > 0 && max_points < cnt) ? max_points : cnt;
+    for (int k = 0; k < cnt; k++) sc.order[k] = k;
+    std::stable_sort(sc.order.begin(), sc.order.begin() + cnt,
+                     [&](int a, int b) { return sc.rho[a] > sc.rho[b]; });
+    gsel.assign(S, 0);
+    g.assign(S, 0.0);
+    for (int k = 0; k < S; k++) {
+        gsel[k] = sc.sel[sc.order[k]];
+        g[k] = sc.rho[sc.order[k]];
+    }
+    return S;
+}
+
 }  // namespace
 
 extern "C" {
@@ -935,46 +984,24 @@ void oi_host_solve(
     const float* background, const float* bvariance,
     float* out, float* out_avar) {
     parallel_rows(n, [&](int64_t s0, int64_t e0) {
-        std::vector<int> sel(kpad);
-        std::vector<float> rho(kpad);
-        std::vector<int> order(kpad);
+        SelScratch sc;
         std::vector<double> m;  // (S, S+1) augmented solve matrix
-        std::vector<float> g, inno;
+        std::vector<double> g, inno;
         std::vector<int> gsel;
         for (int64_t i = s0; i < e0; i++) {
             float bg = background[i];
             float bvar = bvariance[i];
             out[i] = bg;
             out_avar[i] = bvar;
-            const int32_t* ci = cand + i * kpad;
-            const uint8_t* mi = mask + i * kpad;
-            int cnt = 0;
-            for (int64_t k = 0; k < kpad; k++) {
-                if (!mi[k]) continue;
-                int o = ci[k];
-                float r = pair_corr(kernel_type,
-                                    gx[i] - ox[o], gy[i] - oy[o],
-                                    gz[i] - oz[o], gelev[i], oelev[o],
-                                    glaf[i], olaf[o],
-                                    gh[i], gv[i], gw[i], gloc[i]);
-                if (!(r > 0.0f)) continue;
-                sel[cnt] = o;
-                rho[cnt] = r;
-                cnt++;
-            }
-            if (cnt == 0 || !valid(bg)) continue;
-            int S = (max_points > 0 && max_points < cnt) ? max_points : cnt;
-            for (int k = 0; k < cnt; k++) order[k] = k;
-            std::stable_sort(order.begin(), order.begin() + cnt,
-                             [&](int a, int b) { return rho[a] > rho[b]; });
-            g.assign(S, 0.0f);
-            inno.assign(S, 0.0f);
-            gsel.assign(S, 0);
-            for (int k = 0; k < S; k++) {
-                g[k] = rho[order[k]];
-                gsel[k] = sel[order[k]];
-                inno[k] = obs[gsel[k]] - oyb[gsel[k]];
-            }
+            int S = select_topk(cand + i * kpad, mask + i * kpad, kpad,
+                                kernel_type, gx[i], gy[i], gz[i],
+                                gelev[i], glaf[i], gh[i], gv[i], gw[i],
+                                gloc[i], ox, oy, oz, oelev, olaf,
+                                max_points, sc, gsel, g);
+            if (S == 0 || !valid(bg)) continue;
+            inno.assign(S, 0.0);
+            for (int k = 0; k < S; k++)
+                inno[k] = (double)obs[gsel[k]] - (double)oyb[gsel[k]];
             // augmented (S, S+1): obs-obs correlations (h/v/w and the
             // localization radius come from the ROW observation, like the
             // batch-last XLA assembly) + ratio ridge; rhs = g
@@ -1118,43 +1145,23 @@ void oi_ensi_host_solve(
     uint8_t* cond_bad) {
     const int E = n_ens;
     parallel_rows(n, [&](int64_t s0, int64_t e0) {
-        std::vector<int> sel(kpad), order(kpad), gsel;
-        std::vector<float> rho(kpad);
+        SelScratch sc;
+        std::vector<int> gsel;
         std::vector<double> Y, C, Pinv, Qv, lam, cv, wv, Wm, x, inno, g;
         for (int64_t i = s0; i < e0; i++) {
             const float* bg = background + i * E;
             float* oi = out + i * E;
             for (int j = 0; j < E; j++) oi[j] = bg[j];
             cond_bad[i] = 0;
-            const int32_t* ci = cand + i * kpad;
-            const uint8_t* mi = mask + i * kpad;
-            int cnt = 0;
-            for (int64_t k = 0; k < kpad; k++) {
-                if (!mi[k]) continue;
-                int o = ci[k];
-                float r = pair_corr(kernel_type,
-                                    gx[i] - ox[o], gy[i] - oy[o],
-                                    gz[i] - oz[o], gelev[i], oelev[o],
-                                    glaf[i], olaf[o],
-                                    gh[i], gv[i], gw[i], gloc[i]);
-                if (!(r > 0.0f)) continue;
-                sel[cnt] = o;
-                rho[cnt] = r;
-                cnt++;
-            }
-            if (cnt == 0) continue;
-            int S = (max_points > 0 && max_points < cnt) ? max_points : cnt;
-            for (int k = 0; k < cnt; k++) order[k] = k;
-            std::stable_sort(order.begin(), order.begin() + cnt,
-                             [&](int a, int b) { return rho[a] > rho[b]; });
-            gsel.assign(S, 0);
-            g.assign(S, 0.0);
+            int S = select_topk(cand + i * kpad, mask + i * kpad, kpad,
+                                kernel_type, gx[i], gy[i], gz[i],
+                                gelev[i], glaf[i], gh[i], gv[i], gw[i],
+                                gloc[i], ox, oy, oz, oelev, olaf,
+                                max_points, sc, gsel, g);
+            if (S == 0) continue;
             inno.assign(S, 0.0);
-            for (int k = 0; k < S; k++) {
-                gsel[k] = sel[order[k]];
-                g[k] = rho[order[k]];
+            for (int k = 0; k < S; k++)
                 inno[k] = (double)obs[gsel[k]] - (double)yhat[gsel[k]];
-            }
             // Rinv diag = rho / sigma^2; C = Y^T Rinv; Pinv = C Y + (E-1) I
             Y.assign((size_t)S * E, 0.0);
             for (int k = 0; k < S; k++)
@@ -1313,47 +1320,28 @@ void oi_member_host_solve(
     float* out) {
     const int E = n_ens;
     parallel_rows(n, [&](int64_t s0, int64_t e0) {
-        std::vector<int> sel(kpad), order(kpad), gsel;
-        std::vector<float> rho(kpad);
+        SelScratch sc;
+        std::vector<int> gsel;
         std::vector<double> m, g, lk, dx;
         for (int64_t i = s0; i < e0; i++) {
             const float* bg = background + i * E;
             float* oi = out + i * E;
             for (int j = 0; j < E; j++) oi[j] = bg[j];
-            const int32_t* ci = cand + i * kpad;
-            const uint8_t* mi = mask + i * kpad;
-            int cnt = 0;
-            for (int64_t k = 0; k < kpad; k++) {
-                if (!mi[k]) continue;
-                int o = ci[k];
-                float r = pair_corr(kernel_type,
-                                    gx[i] - ox[o], gy[i] - oy[o],
-                                    gz[i] - oz[o], gelev[i], oelev[o],
-                                    glaf[i], olaf[o],
-                                    gh[i], gv[i], gw[i], gloc[i]);
-                if (!(r > 0.0f)) continue;
-                sel[cnt] = o;
-                rho[cnt] = r;
-                cnt++;
-            }
-            if (cnt == 0) continue;
-            int S = (max_points > 0 && max_points < cnt) ? max_points : cnt;
-            for (int k = 0; k < cnt; k++) order[k] = k;
-            std::stable_sort(order.begin(), order.begin() + cnt,
-                             [&](int a, int b) { return rho[a] > rho[b]; });
-            gsel.assign(S, 0);
-            g.assign(S, 0.0);
-            for (int k = 0; k < S; k++) {
-                gsel[k] = sel[order[k]];
-                if (use_z) {
-                    // numerator: rho o (x_l . z^T)
+            int S = select_topk(cand + i * kpad, mask + i * kpad, kpad,
+                                kernel_type, gx[i], gy[i], gz[i],
+                                gelev[i], glaf[i], gh[i], gv[i], gw[i],
+                                gloc[i], ox, oy, oz, oelev, olaf,
+                                max_points, sc, gsel, g);
+            if (S == 0) continue;
+            if (use_z) {
+                // numerator: rho o (x_l . z^T); selection stays on the
+                // structure rho (make_ebe_kernel's _select does too)
+                for (int k = 0; k < S; k++) {
                     double acc = 0.0;
                     for (int e = 0; e < E; e++)
                         acc += (double)xl[(size_t)i * E + e]
                              * (double)zr[(size_t)gsel[k] * E + e];
-                    g[k] = (double)rho[order[k]] * acc;
-                } else {
-                    g[k] = rho[order[k]];
+                    g[k] *= acc;
                 }
             }
             // augmented (S, S+1) system
@@ -1450,8 +1438,8 @@ void oi_utem_host_solve(
     uint8_t* cond_bad) {
     const int E = n_ens;
     parallel_rows(n, [&](int64_t s0, int64_t e0) {
-        std::vector<int> sel(kpad), order(kpad), gsel;
-        std::vector<float> rho(kpad);
+        SelScratch sc;
+        std::vector<int> gsel;
         std::vector<double> Yc, C, Pinv, Qv, lam, cv, wv, tmp, xc, inno,
             g, incr;
         for (int64_t i = s0; i < e0; i++) {
@@ -1460,35 +1448,15 @@ void oi_utem_host_solve(
             float* oi = out + i * E;
             for (int j = 0; j < E; j++) oi[j] = bg[j];
             cond_bad[i] = 0;
-            const int32_t* ci = cand + i * kpad;
-            const uint8_t* mi = mask + i * kpad;
-            int cnt = 0;
-            for (int64_t k = 0; k < kpad; k++) {
-                if (!mi[k]) continue;
-                int o = ci[k];
-                float r = pair_corr(kernel_type,
-                                    gx[i] - ox[o], gy[i] - oy[o],
-                                    gz[i] - oz[o], gelev[i], oelev[o],
-                                    glaf[i], olaf[o],
-                                    gh[i], gv[i], gw[i], gloc[i]);
-                if (!(r > 0.0f)) continue;
-                sel[cnt] = o;
-                rho[cnt] = r;
-                cnt++;
-            }
-            if (cnt == 0) continue;
-            int S = (max_points > 0 && max_points < cnt) ? max_points : cnt;
-            for (int k = 0; k < cnt; k++) order[k] = k;
-            std::stable_sort(order.begin(), order.begin() + cnt,
-                             [&](int a, int b) { return rho[a] > rho[b]; });
-            gsel.assign(S, 0);
-            g.assign(S, 0.0);
+            int S = select_topk(cand + i * kpad, mask + i * kpad, kpad,
+                                kernel_type, gx[i], gy[i], gz[i],
+                                gelev[i], glaf[i], gh[i], gv[i], gw[i],
+                                gloc[i], ox, oy, oz, oelev, olaf,
+                                max_points, sc, gsel, g);
+            if (S == 0) continue;
             inno.assign(S, 0.0);
-            for (int k = 0; k < S; k++) {
-                gsel[k] = sel[order[k]];
-                g[k] = rho[order[k]];
+            for (int k = 0; k < S; k++)
                 inno[k] = (double)obs[gsel[k]] - (double)yhat[gsel[k]];
-            }
             // C = Ycorr^T Rinv with Rinv = rho / ratio; Pinv = C Ycorr + I
             Yc.assign((size_t)S * E, 0.0);
             for (int k = 0; k < S; k++)

@@ -60,7 +60,7 @@ def _common_prep(bpoints, points, structure, max_points, obs_select_valid):
     origin = _origin(bpoints)
     p1_all = _device_fields(bpoints, structure, origin)
     o_fields = _device_fields(opts, structure, origin)
-    return keep, cand, mask, p1_all, o_fields
+    return keep, cand, mask, p1_all, o_fields, loc
 
 
 def _run_blocks(kernel, n, cand, mask, p1_all, o_fields, per_block_args,
@@ -125,15 +125,16 @@ def _validate_multi(bpoints_obj, points, n_ens, pobs, pratios,
 
 
 def _native_member_geom(bpoints, points, keep, structure, p1_all,
-                        o_fields):
+                        o_fields, loc):
     """gfx/ofx field dicts (+ per-point scales and localization) for the
-    native ensi_multi solvers."""
+    native ensi_multi solvers. `loc` is the grid localization already
+    computed by _common_prep (recomputing it costs an uncached
+    full-grid nearest query for spatial structures)."""
     from .oi import _with_scales
     n = bpoints.size()
     gfx = _with_scales({k: np.asarray(v) for k, v in p1_all.items()},
                        structure, n)
-    gfx["loc"] = np.asarray(
-        structure.localization_np(bpoints.lats, bpoints.lons), np.float32)
+    gfx["loc"] = np.asarray(loc, np.float32)
     opts = points.subset(keep)
     ofx = _with_scales({k: np.asarray(v) for k, v in o_fields.items()},
                        structure, opts.size())
@@ -203,7 +204,7 @@ def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
                         np.isfinite(pobs[:, 0]))
     if prep is None:
         return output.reshape(background.shape)
-    keep, cand, mask, p1_all, o_fields = prep
+    keep, cand, mask, p1_all, o_fields, loc = prep
 
     z_r = _norm_anom(pbackground_corr, valid_ens)[keep]
     x_l = _norm_anom(flat_bgc, valid_ens)
@@ -213,7 +214,7 @@ def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
     if kt is not None:
         from .. import native
         gfx, ofx = _native_member_geom(bpoints, points, keep, structure,
-                                       p1_all, o_fields)
+                                       p1_all, o_fields, loc)
         out_nat = native.oi_member_host_solve(
             gfx, ofx, pratios[keep], innov.astype(np.float32), z_r, x_l,
             flat_ratios, cand, mask, kt, int(max_points),
@@ -278,14 +279,14 @@ def optimal_interpolation_ensi_multi_ebesc(bgrid, bratios, background,
                         np.isfinite(pobs[:, 0]))
     if prep is None:
         return output.reshape(background.shape)
-    keep, cand, mask, p1_all, o_fields = prep
+    keep, cand, mask, p1_all, o_fields, loc = prep
     innov = (pobs[:, valid_ens] - pbackground[:, valid_ens])[keep]
 
     kt = _native_ready(structure)
     if kt is not None:
         from .. import native
         gfx, ofx = _native_member_geom(bpoints, points, keep, structure,
-                                       p1_all, o_fields)
+                                       p1_all, o_fields, loc)
         out_nat = native.oi_member_host_solve(
             gfx, ofx, pratios[keep], innov.astype(np.float32), None, None,
             flat_ratios, cand, mask, kt, int(max_points),
@@ -358,7 +359,7 @@ def optimal_interpolation_ensi_multi_utem(bgrid, bratios, background,
                         np.isfinite(pobs))
     if prep is None:
         return output.reshape(background.shape)
-    keep, cand, mask, p1_all, o_fields = prep
+    keep, cand, mask, p1_all, o_fields, loc = prep
 
     pv = pbackground[:, valid_ens].astype(np.float64)
     y_hat = pv.mean(axis=1)
@@ -369,7 +370,7 @@ def optimal_interpolation_ensi_multi_utem(bgrid, bratios, background,
     if kt is not None:
         from .. import native
         gfx, ofx = _native_member_geom(bpoints, points, keep, structure,
-                                       p1_all, o_fields)
+                                       p1_all, o_fields, loc)
         res_nat = native.oi_utem_host_solve(
             gfx, ofx, pobs[keep], pratios[keep],
             y_hat[keep].astype(np.float32),

@@ -377,6 +377,11 @@ def nb_search(array: np.ndarray, search_array: np.ndarray, halfwidth: int,
     return out
 
 
+def _geom_ptrs(fx):
+    return [_f32c(fx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
+                                   "v", "w", "loc")]
+
+
 def oi_host_solve(gfx, ofx, obs, oyb, oratio, cand, mask, kernel_type,
                   max_points, allow_extrapolation, background, bvariance):
     """Threaded per-gridpoint OI solve (csrc oi_host_solve).
@@ -396,10 +401,8 @@ def oi_host_solve(gfx, ofx, obs, oyb, oratio, cand, mask, kernel_type,
     kpad = cand.shape[1]
     # materialize every converted array BEFORE taking pointers, so the
     # temporaries stay alive through the call
-    garrs = [_f32c(gfx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
-                                     "v", "w", "loc")]
-    oarrs = [_f32c(ofx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
-                                     "v", "w", "loc")]
+    garrs = _geom_ptrs(gfx)
+    oarrs = _geom_ptrs(ofx)
     varrs = [_f32c(obs), _f32c(oyb), _f32c(oratio)]
     bgarrs = [_f32c(background), _f32c(bvariance)]
     lib.oi_host_solve(
@@ -432,10 +435,8 @@ def oi_ensi_host_solve(gfx, ofx, obs, sigmas, yhat, yanom, cand, mask,
     cand = np.ascontiguousarray(cand, np.int32)
     mask = np.ascontiguousarray(mask, np.uint8)
     kpad = cand.shape[1]
-    garrs = [_f32c(gfx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
-                                     "v", "w", "loc")]
-    oarrs = [_f32c(ofx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
-                                     "v", "w", "loc")]
+    garrs = _geom_ptrs(gfx)
+    oarrs = _geom_ptrs(ofx)
     varrs = [_f32c(obs), _f32c(sigmas), _f32c(yhat), yanom]
     lib.oi_ensi_host_solve(
         *[_ptr(a) for a in garrs], n,
@@ -447,10 +448,6 @@ def oi_ensi_host_solve(gfx, ofx, obs, sigmas, yhat, yanom, cand, mask,
         _ptr(background), _ptr(out), _ptr(cond_bad))
     return out, cond_bad
 
-
-def _geom_ptrs(fx):
-    return [_f32c(fx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
-                                   "v", "w", "loc")]
 
 
 def oi_member_host_solve(gfx, ofx, oratio, innov, zr, xl, bratios, cand,

@@ -379,7 +379,8 @@ class TestNetcdfWriteFidelity:
         assert back.has_variable("t2")
         t2 = back.get_field("t2")
         orig = back.get_field("air_temperature_2m")
-        assert t2.shape == orig.shape[:3] + (t2.shape[3],)
+        assert t2.shape[:3] == orig.shape[:3]
+        assert t2.shape[3] == 1  # E=1 source: no ens dim created
         assert np.isfinite(t2).all()
         # smoothed: differs from the input variable
         assert not np.allclose(t2[..., 0], orig[..., 0])

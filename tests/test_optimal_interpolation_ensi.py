@@ -169,3 +169,22 @@ class TestNativeHostSolver:
             structure, 8)
         np.testing.assert_array_equal(out, bg)
         assert "Condition number error" in capsys.readouterr().out
+
+    def test_chunked_blocks_native(self, monkeypatch):
+        # force the per-block candidate path through the native EnSI
+        # solver at a small size (mirrors the deterministic solver's
+        # chunked test)
+        from gridpp_tpu.api import oi as oi_api
+        from gridpp_tpu.api import oi_ensi as ensi_api
+        monkeypatch.setattr(ensi_api, "_BALL_QUERY_MAX", 400)
+        monkeypatch.setattr(ensi_api, "_BLOCK", 384)
+        grid, points, bg, pobs, sig, pback = self._problem(seed=7)
+        structure = gridpp.BarnesStructure(25000.0)
+        out_nat = gridpp.optimal_interpolation_ensi(
+            grid, bg, points, pobs, sig, pback, structure, 8)
+        monkeypatch.setattr(oi_api, "_native_kernel_type", lambda s: None)
+        out_xla = gridpp.optimal_interpolation_ensi(
+            grid, bg, points, pobs, sig, pback, structure, 8)
+        close = np.isclose(out_nat, out_xla, atol=5e-4, rtol=1e-4,
+                           equal_nan=True)
+        assert close.mean() > 0.99
