@@ -425,30 +425,50 @@ class FileNetcdf(File):
                      for k, v in self._vattrs.get(name, {}).items()}
             varspec.append((name, var.dimensions, var.data.dtype, data,
                             attrs))
+        def _pick_dim(size, prefer, used):
+            """An existing dim of this size (preferring the resolved
+            role dim), or a fresh one to create — new variables must
+            never silently drop a non-singleton axis."""
+            if prefer and prefer in dims and \
+                    dims.get(prefer) in (None, size):
+                return prefer
+            for dn, sz in dims.items():
+                if dn in used or dn in (self._tdim, self._edim):
+                    continue
+                if sz == size:
+                    return dn
+            dn = f"dim{size}"
+            while dn in dims or dn in used:
+                dn += "_"
+            dims[dn] = size
+            return dn
+
         for name in new_vars:
             field = self._fields[name]  # (T, Y, X, E)
             vdims = []
             data = field
-            if self._tdim in dims and \
-                    dims.get(self._tdim) in (None, field.shape[0]):
-                vdims.append(self._tdim)
-            else:
+            if field.shape[0] == 1 and not (
+                    self._tdim in dims and
+                    dims.get(self._tdim) in (None, 1)):
                 data = data[0]
-            ylike = self._ydim if self._ydim in dims else None
-            xlike = self._xdim if self._xdim in dims else None
-            if ylike:
-                vdims.append(ylike)
             else:
+                vdims.append(_pick_dim(field.shape[0], self._tdim,
+                                       set(vdims)))
+            if field.shape[1] == 1 and self._ydim not in dims:
                 data = np.squeeze(data, axis=-3)
-            if xlike:
-                vdims.append(xlike)
             else:
+                vdims.append(_pick_dim(field.shape[1], self._ydim,
+                                       set(vdims)))
+            if field.shape[2] == 1 and self._xdim not in dims:
                 data = np.squeeze(data, axis=-2)
-            if self._edim in dims and field.shape[-1] > 1 and \
-                    dims.get(self._edim) in (None, field.shape[-1]):
-                vdims.append(self._edim)
             else:
+                vdims.append(_pick_dim(field.shape[2], self._xdim,
+                                       set(vdims)))
+            if field.shape[3] == 1:
                 data = data[..., 0]
+            else:
+                vdims.append(_pick_dim(field.shape[3], self._edim,
+                                       set(vdims)))
             varspec.append((name, tuple(vdims), np.dtype(np.float32),
                             np.ascontiguousarray(data, np.float32), {}))
             self._vattrs.setdefault(name, {})

@@ -546,3 +546,30 @@ class TestSetupAliasResolution:
         assert vc.input_variable == "air_temperature_2m"
         assert vc.variable == "out"
         assert "Using variable alias" in capsys.readouterr().out
+
+    def test_new_variable_cf_dims(self, tmp_path):
+        # CF-style files (dims time/latitude/longitude, 1-D coord vars)
+        # leave _ydim/_xdim unresolved; new-variable writes must
+        # size-match the dims instead of crashing on a squeeze
+        from scipy.io import netcdf_file
+        path = str(tmp_path / "cf.nc")
+        nc = netcdf_file(path, "w", mmap=False)
+        nc.createDimension("time", 2)
+        nc.createDimension("latitude", 4)
+        nc.createDimension("longitude", 5)
+        lat = nc.createVariable("latitude", "d", ("latitude",))
+        lat[:] = np.linspace(55, 56, 4)
+        lon = nc.createVariable("longitude", "d", ("longitude",))
+        lon[:] = np.linspace(5, 6, 5)
+        t = nc.createVariable("time", "d", ("time",))
+        t[:] = [0, 3600]
+        v = nc.createVariable("air_temperature_2m", "f",
+                              ("time", "latitude", "longitude"))
+        v[:] = np.arange(40, dtype=np.float32).reshape(2, 4, 5)
+        nc.close()
+        f = FileNetcdf(path)
+        fld = f.get_field("air_temperature_2m")
+        f.add_field("t2", fld + 1)
+        f.write(["t2"])
+        back = FileNetcdf(path)
+        np.testing.assert_allclose(back.get_field("t2"), fld + 1)
