@@ -970,6 +970,40 @@ inline int select_topk(
 
 extern "C" {
 
+// Canonical pair-rho evaluation over explicit candidate lists: the same
+// pair_corr the native OI-family solvers run in select_topk, exposed so
+// the serving pipelines / device API paths can store selection keys that
+// are BIT-IDENTICAL to the native per-call selection (ops/canonical.py).
+// rho_out[i, k] = 0 where the mask is clear.
+void pair_rho_host(
+    const float* gx, const float* gy, const float* gz,
+    const float* gelev, const float* glaf,
+    const float* gh, const float* gv, const float* gw, const float* gloc,
+    int64_t n,
+    const float* ox, const float* oy, const float* oz,
+    const float* oelev, const float* olaf,
+    const int32_t* cand, const uint8_t* mask, int64_t kpad,
+    int kernel_type, float* rho_out) {
+    parallel_rows(n, [&](int64_t s0, int64_t e0) {
+        for (int64_t i = s0; i < e0; i++) {
+            const int32_t* ci = cand + i * kpad;
+            const uint8_t* mi = mask + i * kpad;
+            float* ri = rho_out + i * kpad;
+            for (int64_t k = 0; k < kpad; k++) {
+                if (!mi[k]) {
+                    ri[k] = 0.0f;
+                    continue;
+                }
+                int o = ci[k];
+                ri[k] = pair_corr(kernel_type, gx[i] - ox[o],
+                                  gy[i] - oy[o], gz[i] - oz[o],
+                                  gelev[i], oelev[o], glaf[i], olaf[o],
+                                  gh[i], gv[i], gw[i], gloc[i]);
+            }
+        }
+    });
+}
+
 void oi_host_solve(
     const float* gx, const float* gy, const float* gz,
     const float* gelev, const float* glaf,

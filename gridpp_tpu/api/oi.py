@@ -12,7 +12,8 @@ import numpy as np
 from ..constants import MV
 from ..core.grid import Grid
 from ..core.points import Points
-from ..ops.oi import make_oi_dense_sweep, make_oi_gather_kernel
+from ..ops.oi import (make_oi_dense_sweep, make_oi_gather_kernel,
+                      make_oi_shortlist_sweep)
 from ._common import asarray_f32, on_host
 
 __all__ = ["optimal_interpolation", "optimal_interpolation_full"]
@@ -286,6 +287,20 @@ def _oi_points(bpoints: Points, background, bvariance, points: Points,
     pbg_k = pbackground[kidx]
     pratios_k = pratios[kidx]
 
+    # Canonical-shortlist device path (accelerator-only): selection
+    # order/rho come from the cached host-computed canonical shortlist
+    # (ops/canonical.py), making the API's per-call selection
+    # BIT-IDENTICAL to the serving pipelines' and the native host
+    # solvers'. Falls back to the full-depth paths below when any
+    # truncated gridpoint keeps fewer than max_points valid candidates
+    # this cycle (the reference digs deeper, oi.cpp:250-281).
+    if not on_host() and max_points > 0 and points.size() > 0:
+        res_sl = _oi_points_shortlist(
+            bpoints, background, bvariance, points, pobs, pratios,
+            pbackground, structure, max_points, allow_extrapolation)
+        if res_sl is not None:
+            return res_sl
+
     # Dense device path: with a moderate observation count, evaluate rho
     # against every observation on device (no host spatial query, no
     # candidate arrays over the host-device link). Every structure zeroes
@@ -447,6 +462,52 @@ def _oi_points_dense(bpoints, background, bvariance, opts, pobs_k,
     p1 = {k: v for k, v in p1_all.items()}
     out_j, avar_j = kernel(p1, o_fields, bg_j, bvar_j, j_obs, j_bg,
                            j_ratios)
+    return np.asarray(out_j), np.asarray(avar_j)
+
+
+def _shortlist_dev(bpoints, points, structure, k_cap):
+    """Canonical shortlist + device-resident copies, cached on bpoints.
+
+    Returns (sel, rho, valid, truncated device arrays, CanonicalShortlist).
+    """
+    from ..ops.canonical import canonical_shortlist
+    sl = canonical_shortlist(bpoints, points, structure, k_cap)
+    cache = bpoints.__dict__.setdefault("_canon_dev_cache", {})
+    key = id(sl)
+    dev = cache.get(key)
+    if dev is None:
+        if len(cache) > 4:
+            cache.clear()
+        dev = (jnp.asarray(sl.sel), jnp.asarray(sl.rho),
+               jnp.asarray(sl.valid), jnp.asarray(sl.truncated), sl)
+        cache[key] = dev
+    return dev
+
+
+def _oi_points_shortlist(bpoints, background, bvariance, points, pobs,
+                         pratios, pbackground, structure, max_points,
+                         allow_extrapolation):
+    """Accelerator OI from the canonical shortlist (see _oi_points).
+
+    Returns (analysis, avariance) or None when any truncated gridpoint
+    is starved this cycle (caller falls back to a full-depth path).
+    """
+    n_obs = points.size()
+    k_cap = min(n_obs, max(4 * int(max_points), 32))
+    sel_d, rho_d, val_d, tr_d, sl = _shortlist_dev(bpoints, points,
+                                                   structure, k_cap)
+    origin = _origin(bpoints)
+    o_fields = _device_fields(points, structure, origin)
+    block = max(16384, min(_BLOCK, (1 << 27) // max(sl.k_cap, 1)))
+    kernel = make_oi_shortlist_sweep(structure, int(max_points),
+                                     bool(allow_extrapolation), block)
+    out_j, avar_j, starved = kernel(
+        sel_d, rho_d, val_d, tr_d, o_fields,
+        jnp.asarray(background), jnp.asarray(bvariance),
+        jnp.asarray(pobs), jnp.asarray(pbackground),
+        jnp.asarray(pratios))
+    if int(np.asarray(starved)) > 0:
+        return None
     return np.asarray(out_j), np.asarray(avar_j)
 
 

@@ -30,7 +30,8 @@ from ..constants import Statistic
 from ..core.grid import Grid
 from ..core.points import Points
 from ..ops import neighbourhood as nops
-from ..ops.oi import make_oi_select_sweep, oi_block_from_candidates
+from ..ops.canonical import canonical_shortlist
+from ..ops.oi import oi_block_from_candidates
 from ..ops.oi_ensi import _ensi_update
 from ..ops import oi_tiled as tiled_ops
 from .oi import _device_fields, _origin, _resolved_fields
@@ -83,7 +84,6 @@ class Pipeline:
         self.shape = tuple(grid.size())
         bpoints = grid.to_points()
         origin = _origin(bpoints)
-        p1 = _device_fields(bpoints, structure, origin)
         obs_fields = self._obs_fields = _device_fields(points, structure,
                                                        origin)
         # device gather map: grid cell containing each obs point
@@ -99,10 +99,13 @@ class Pipeline:
             candidates = 2 * max_points if max_points > 0 else n_obs
         k_cap = max(1, min(int(candidates), n_obs))
 
-        # One-time geometric selection sweep (the OI hot loop's radius
-        # query + top-k, oi.cpp:221-281, amortized across cycles).
-        select = make_oi_select_sweep(structure, k_cap, block)
-        sel, rho, valid = select(p1, obs_fields)
+        # One-time geometric selection (the OI hot loop's radius query +
+        # top-k, oi.cpp:221-281, amortized across cycles). CANONICAL
+        # host evaluation (ops/canonical.py): the stored order and rho
+        # bits are identical to the host API's per-call selection, so
+        # serving matches the plain API exactly whenever >= max_points
+        # shortlisted candidates carry valid obs.
+        sl = canonical_shortlist(bpoints, points, structure, k_cap)
 
         self._static_w = None
         # keep construction-time ratios as the default for cycles that
@@ -115,11 +118,14 @@ class Pipeline:
             # the table build; tiny grids keep the flat path
             tiled = n >= 65536
         if tiled:
-            self._init_tiled(sel, rho, valid, points, structure,
+            self._init_tiled(sl.sel, sl.rho, sl.valid, points, structure,
                              halfwidth, statistic, max_points, allow,
                              tile_shape, origin, ratios)
             return
 
+        sel = jnp.asarray(sl.sel)
+        rho = jnp.asarray(sl.rho)
+        valid = jnp.asarray(sl.valid)
         nb = -(-n // block)
         pad = nb * block - n
 
@@ -317,7 +323,6 @@ class EnsiPipeline:
         self.shape = tuple(grid.size())
         bpoints = grid.to_points()
         origin = _origin(bpoints)
-        p1 = _device_fields(bpoints, structure, origin)
         obs_fields = _device_fields(points, structure, origin)
         self._obs_nn = jnp.asarray(
             grid.nearest_map(points.lats, points.lons, cache_obj=points))
@@ -331,8 +336,12 @@ class EnsiPipeline:
             candidates = 2 * max_points if max_points > 0 else n_obs
         k_cap = max(1, min(int(candidates), n_obs))
 
-        select = make_oi_select_sweep(structure, k_cap, block)
-        sel, rho, valid = select(p1, obs_fields)
+        # canonical host selection: bit-identical order/rho to the host
+        # API's per-call selection (ops/canonical.py)
+        sl = canonical_shortlist(bpoints, points, structure, k_cap)
+        sel = jnp.asarray(sl.sel)
+        rho = jnp.asarray(sl.rho)
+        valid = jnp.asarray(sl.valid)
 
         nb = -(-n // block)
         pad = nb * block - n
@@ -521,7 +530,6 @@ class MultiEnsiPipeline:
         self.shape = tuple(grid.size())
         bpoints = grid.to_points()
         origin = _origin(bpoints)
-        p1 = _device_fields(bpoints, structure, origin)
         obs_fields = _device_fields(points, structure, origin)
         self._obs_nn = jnp.asarray(
             grid.nearest_map(points.lats, points.lons, cache_obj=points))
@@ -535,8 +543,12 @@ class MultiEnsiPipeline:
         k_cap = max(1, min(int(candidates), n_obs))
         s_cap = min(max_points, k_cap) if max_points > 0 else k_cap
 
-        select = make_oi_select_sweep(structure, k_cap, block)
-        sel, rho, valid = select(p1, obs_fields)
+        # canonical host selection (ops/canonical.py): selection order
+        # and rho bits shared with the host API paths
+        sl = canonical_shortlist(bpoints, points, structure, k_cap)
+        sel = jnp.asarray(sl.sel)
+        rho = jnp.asarray(sl.rho)
+        valid = jnp.asarray(sl.valid)
         nb = -(-n // block)
         pad = nb * block - n
 

@@ -96,6 +96,9 @@ def get_lib():
         lib.index_radius_stat.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                           ctypes.c_int64, ctypes.c_double,
                                           c_p, c_i32, c_f64, c_i64, c_p]
+        lib.pair_rho_host.argtypes = (
+            [c_p] * 9 + [c_i64] + [c_p] * 5 + [c_p, c_p, c_i64]
+            + [c_i32] + [c_p])
         lib.oi_host_solve.argtypes = (
             [c_p] * 9 + [c_i64] + [c_p] * 12 + [c_p, c_p, c_i64]
             + [c_i32, c_i32, c_i32] + [c_p] * 4)
@@ -380,6 +383,29 @@ def nb_search(array: np.ndarray, search_array: np.ndarray, halfwidth: int,
 def _geom_ptrs(fx):
     return [_f32c(fx[k]) for k in ("x", "y", "z", "elev", "laf", "h",
                                    "v", "w", "loc")]
+
+
+def pair_rho_host(gfx, ofx, cand, mask, kernel_type):
+    """Canonical pair-rho over explicit candidate lists (csrc
+    pair_rho_host): the exact bits the native OI solvers' select_topk
+    computes. gfx: per-gridpoint f32 fields x,y,z,elev,laf,h,v,w,loc;
+    ofx: per-obs x,y,z,elev,laf. cand/mask: (n, K). Returns (n, K) f32
+    rho (0 where masked out) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = gfx["x"].shape[0]
+    cand = np.ascontiguousarray(cand, np.int32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    kpad = cand.shape[1] if cand.ndim == 2 else 0
+    rho = np.empty((n, kpad), np.float32)
+    garrs = _geom_ptrs(gfx)
+    oarrs = [_f32c(ofx[k]) for k in ("x", "y", "z", "elev", "laf")]
+    lib.pair_rho_host(
+        *[_ptr(a) for a in garrs], n,
+        *[_ptr(a) for a in oarrs],
+        _ptr(cand), _ptr(mask), kpad, int(kernel_type), _ptr(rho))
+    return rho
 
 
 def oi_host_solve(gfx, ofx, obs, oyb, oratio, cand, mask, kernel_type,

@@ -1,0 +1,255 @@
+"""Canonical candidate selection: one host evaluation, shared by every path.
+
+Round-4 finding: the serving pipelines and the host API each evaluated
+the structure function with their own transcendental implementation
+(TPU f32 `exp`, libm `expf`, numpy SIMD exp). At rho near-ties — two
+observations metres apart in effective distance — those implementations
+disagree in the last ulp, the top-`max_points` cut flips, and a
+*different observation set* is selected, producing isolated
+single-gridpoint divergences of up to ~1 K between paths that document
+exact agreement.
+
+Selection is a discrete decision, so the fix is to make its inputs
+bit-identical everywhere: this module computes, once per
+(grid, obs network, structure), a per-gridpoint candidate shortlist
+whose order (rho descending, observation id ascending on exact ties)
+and stored rho values come from a single HOST evaluation — the native
+C++ pair kernel (csrc `pair_rho_host`, the same code the native OI
+solvers run inside `select_topk`) when the structure maps to a native
+kernel type, numpy otherwise. Serving pipelines consume it at
+construction; accelerator API paths serve from it per call. The
+discrete top-k decision then agrees exactly across host and device, and
+parity divergence reduces to continuous solve numerics.
+
+Selection semantics: reference oi.cpp:233-281 (radius query via rho > 0,
+top-max_points by rho). The shortlist is built from a k-nearest-neighbour
+proposal that is GROWN until provably complete: a row is complete when
+its k-th neighbour lies beyond the localization radius, or when the
+k_cap-th selected rho exceeds the maximum rho any farther observation
+could reach (the distance-kernel factor at the k-th distance — valid for
+every product structure because the vertical/laf factors are <= 1).
+Structures with no such bound fall back to covering the full radius.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..structure import (CressmanStructure, CrossValidation,
+                         LinearStructure, MultipleStructure, _KERNELS,
+                         _KernelStructure, _NpWrap, StructureFunction)
+
+__all__ = ["canonical_shortlist", "CanonicalShortlist"]
+
+
+class CanonicalShortlist:
+    """Per-gridpoint canonical candidate shortlist (host numpy arrays).
+
+    sel:   (N, K) int32 observation ids, canonical order
+    rho:   (N, K) float32 canonical selection rho (0 in invalid slots)
+    valid: (N, K) bool
+    truncated: (N,) bool — True where more than K in-range candidates
+        exist (the shortlist is a strict top-K cut; consumers that must
+        dig deeper than K valid entries need a fallback on these rows)
+    """
+
+    __slots__ = ("sel", "rho", "valid", "truncated", "k_cap", "n_obs")
+
+    def __init__(self, sel, rho, valid, truncated, n_obs):
+        self.sel = sel
+        self.rho = rho
+        self.valid = valid
+        self.truncated = truncated
+        self.k_cap = sel.shape[1]
+        self.n_obs = n_obs
+
+
+def _native_eval(structure):
+    """(kernel_type, lib) when the native canonical evaluator applies."""
+    from ..api.oi import _native_kernel_type
+    from .. import native
+    kt = _native_kernel_type(structure)
+    if kt is None:
+        return None
+    if native.get_lib() is None:
+        return None
+    return kt
+
+
+def _host_fields(pts, structure, origin, n):
+    """f32 field dict x,y,z,elev,laf,h,v,w,loc — the exact arrays the
+    native solvers receive (api/oi.py _oi_native), so canonical rho bits
+    match the native in-kernel evaluation."""
+    from ..api.oi import _resolved_fields, _with_scales
+    fx = _with_scales(_resolved_fields(pts, structure, origin), structure,
+                      n)
+    fx["loc"] = np.asarray(structure.localization_np(pts.lats, pts.lons),
+                           np.float32)
+    return fx
+
+
+def _np_rho(structure, gfx, ofx, rows, cand, mask):
+    """numpy canonical rho for arbitrary structures (same field inputs
+    as the native evaluator; numpy is the canonical implementation when
+    no native kernel type applies)."""
+    keys = ["x", "y", "z", "elev", "laf"]
+    # h/v/w arrays only when resolve_p1_np produced them (spatial
+    # structures); scalar structures read their own scale attributes, and
+    # wrapper structures (Multiple/CrossValidation) would be poisoned by
+    # the _with_scales fill values
+    if getattr(structure, "is_spatial", False):
+        keys += ["h", "v", "w"]
+    p1 = {key: gfx[key][rows][:, None] for key in keys if key in gfx}
+    p2 = {key: ofx[key][np.where(mask, cand, 0)]
+          for key in ("x", "y", "z", "elev", "laf")}
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        rho = structure._corr_background(_NpWrap, np, p1, p2)
+    rho = np.asarray(rho, np.float32)
+    return np.where(mask, rho, 0.0).astype(np.float32)
+
+
+def _dist_kernel(structure):
+    """(kernel_fn, spatial) giving the horizontal-distance factor used
+    for the completeness bound, or None when no bound exists."""
+    s = structure
+    while isinstance(s, CrossValidation):
+        s = s.structure
+    if isinstance(s, MultipleStructure):
+        s = s.structure_h
+    if isinstance(s, CressmanStructure):
+        return _KERNELS["cressman"], False, s.h
+    if isinstance(s, LinearStructure):
+        # localization distance 0: any positive distance gives rho 0
+        return (lambda xp, d, h: np.zeros_like(d)), False, 0.0
+    if isinstance(s, _KernelStructure):
+        if s.is_spatial:
+            return _KERNELS[s.kernel_name], True, None
+        return _KERNELS[s.kernel_name], False, s.h
+    return None
+
+
+def _rho_bound(structure, dist, h_rows):
+    """Upper bound on canonical rho of any obs at distance >= dist, with
+    a safety margin covering native-vs-numpy transcendental differences.
+    Returns None when the structure admits no distance bound."""
+    dk = _dist_kernel(structure)
+    if dk is None:
+        return None
+    kernel, spatial, h = dk
+    hv = h_rows if spatial else np.float32(h)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        val = np.asarray(kernel(_NpWrap, dist.astype(np.float32), hv),
+                         np.float32)
+    return val * np.float32(1.0001) + np.float32(1e-6)
+
+
+def _canonical_order(ids, rho, valid, n_obs):
+    """Stable order: rho descending, obs id ascending on exact ties,
+    invalid slots last. Returns take_along_axis index array."""
+    idk = np.where(valid, ids, n_obs)
+    o1 = np.argsort(idk, axis=1, kind="stable")
+    r1 = np.take_along_axis(np.where(valid, rho, -np.inf), o1, axis=1)
+    o2 = np.argsort(-r1, axis=1, kind="stable")
+    return np.take_along_axis(o1, o2, axis=1)
+
+
+def canonical_shortlist(bpoints, opts, structure: StructureFunction,
+                        k_cap: int, block: int = 262144):
+    """Build (and cache on `bpoints`) the canonical top-k_cap shortlist.
+
+    bpoints: background Points (grid.to_points() or a Points set).
+    opts: observation Points. Returns a CanonicalShortlist.
+    """
+    n = bpoints.size()
+    n_obs = opts.size()
+    k_cap = max(1, min(int(k_cap), n_obs))
+
+    cache = bpoints.__dict__.setdefault("_canon_shortlist_cache", {})
+    key = (n_obs, hash(opts.lats.tobytes()), hash(opts.lons.tobytes()),
+           hash(opts.elevs.tobytes()), hash(opts.lafs.tobytes()),
+           id(structure), k_cap)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit[0]
+
+    from ..api.oi import _origin
+    origin = _origin(bpoints)
+    gfx = _host_fields(bpoints, structure, origin, n)
+    ofx = _host_fields(opts, structure, origin, n_obs)
+    kt = _native_eval(structure)
+
+    def eval_rho(rows, cand, mask):
+        if kt is not None:
+            from .. import native
+            gfb = {key2: v[rows] for key2, v in gfx.items()}
+            out = native.pair_rho_host(gfb, ofx, cand, mask, kt)
+            if out is not None:
+                return out
+        return _np_rho(structure, gfx, ofx, rows, cand, mask)
+
+    loc = np.asarray(gfx["loc"], np.float64)
+    rmax = float(loc.max()) if loc.size else 0.0
+    ub = rmax if rmax > 0 else np.finfo(np.float64).tiny
+    tree = opts.index.tree
+    bxyz = bpoints.xyz
+
+    sel = np.zeros((n, k_cap), np.int32)
+    rho = np.zeros((n, k_cap), np.float32)
+    valid = np.zeros((n, k_cap), bool)
+    truncated = np.zeros(n, bool)
+
+    for start in range(0, n, block):
+        end = min(start + block, n)
+        rows = np.arange(start, end)
+        locb = loc[start:end]
+        k = min(n_obs, max(2 * k_cap, k_cap + 16))
+        pending = rows
+        while pending.size:
+            dist, cand = tree.query(bxyz[pending], k=k,
+                                    distance_upper_bound=ub, workers=-1)
+            if k == 1:
+                dist = dist[:, None]
+                cand = cand[:, None]
+            inrad = dist <= loc[pending][:, None]
+            cand_m = np.where(inrad, cand, 0).astype(np.int32)
+            rho_b = eval_rho(pending, cand_m, inrad)
+            val_b = inrad & (rho_b > 0)
+            order = _canonical_order(cand_m, rho_b, val_b, n_obs)
+            osel = np.take_along_axis(cand_m, order, axis=1)[:, :k_cap]
+            orho = np.take_along_axis(
+                np.where(val_b, rho_b, 0.0), order, axis=1)[:, :k_cap]
+            oval = np.take_along_axis(val_b, order, axis=1)[:, :k_cap]
+
+            nvalid = val_b.sum(axis=1)
+            # completeness: the proposal holds every in-range obs, or the
+            # k_cap-th selected rho provably dominates anything farther
+            covered = dist[:, -1] > loc[pending]
+            if k >= n_obs:
+                covered |= True
+            need = ~covered
+            if need.any():
+                bound = _rho_bound(structure, dist[need, -1],
+                                   gfx["h"][pending[need]]
+                                   if "h" in gfx else None)
+                if bound is not None:
+                    full = oval[need, k_cap - 1]
+                    ok = full & (orho[need, k_cap - 1] > bound)
+                    idx = np.nonzero(need)[0]
+                    need[idx[ok]] = False
+            done = ~need
+            didx = pending[done]
+            sel[didx] = osel[done]
+            rho[didx] = orho[done]
+            valid[didx] = oval[done]
+            truncated[didx] = nvalid[done] > k_cap
+            pending = pending[need]
+            if pending.size and k >= n_obs:
+                # should be unreachable (k == n_obs always covers)
+                break
+            k = min(n_obs, 4 * k)
+
+    out = CanonicalShortlist(sel, rho, valid, truncated, n_obs)
+    if len(cache) > 6:
+        cache.clear()
+    # pin the structure object so id() stays unique while cached
+    cache[key] = (out, structure)
+    return out

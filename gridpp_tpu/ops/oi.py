@@ -323,6 +323,75 @@ def make_oi_dense_sweep(structure, max_points: int,
     return kernel
 
 
+def make_oi_shortlist_sweep(structure, max_points: int,
+                            allow_extrapolation: bool, block: int):
+    """Whole-grid OI from a canonical candidate shortlist in ONE dispatch.
+
+    The accelerator serving path of the plain API (api/oi.py): selection
+    order and rho come from the host-computed canonical shortlist
+    (ops/canonical.py), so per call the kernel only masks candidates
+    whose obs values are invalid, re-selects the top max_points among
+    survivors (ties already resolved by the stored order) and solves.
+    Also returns the number of STARVED gridpoints: rows whose shortlist
+    was truncated (more in-range candidates exist beyond K) and which
+    kept fewer than max_points valid entries this cycle — for those the
+    caller must fall back to a full-depth path to preserve the
+    reference's dig-deeper semantics (oi.cpp:250-281).
+    """
+    cache, hit = _kernel_cache(
+        structure, "_oi_shortlist_sweep_cache",
+        (int(max_points), bool(allow_extrapolation), int(block)))
+    if hit is not None:
+        return hit
+
+    @jax.jit
+    def kernel(sel, rho, valid, truncated, obs_fields, background,
+               bvariance, obs, obs_y, ratios):
+        n, k_cap = sel.shape
+        s_cap = min(max_points, k_cap) if max_points > 0 else k_cap
+        nb = -(-n // block)
+        pad = nb * block - n
+
+        def pad_to(v, fill):
+            if not pad:
+                return v
+            return jnp.concatenate(
+                [v, jnp.full((pad,) + v.shape[1:], fill, v.dtype)])
+
+        args = (pad_to(sel, 0).reshape(nb, block, k_cap),
+                pad_to(rho, 0).reshape(nb, block, k_cap),
+                pad_to(valid, False).reshape(nb, block, k_cap),
+                pad_to(truncated, False).reshape(nb, block),
+                pad_to(background, jnp.nan).reshape(nb, block),
+                pad_to(bvariance, jnp.nan).reshape(nb, block))
+
+        def body(chunk):
+            selc, rhoc, valc, trc, bgc, bvc = chunk
+            v = (valc
+                 & jnp.take(jnp.isfinite(obs), selc, axis=0)
+                 & jnp.take(jnp.isfinite(obs_y), selc, axis=0))
+            nvalid = jnp.sum(v, axis=1)
+            starved = trc & (nvalid < s_cap)
+            vals, sub, sel_valid = _select_top(rhoc, v, s_cap)
+            lg = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
+            g = jnp.take_along_axis(selc, sub, axis=1)
+            sel_fields = {key: jnp.take(obs_fields[key], g, axis=0)
+                          for key in obs_fields}
+            out, avar = _solve_selected(
+                structure, sel_fields, lg, sel_valid,
+                jnp.take(obs, g, axis=0), jnp.take(obs_y, g, axis=0),
+                jnp.take(ratios, g, axis=0), bgc, bvc,
+                allow_extrapolation)
+            return out, avar, jnp.sum(starved)
+
+        out, avar, starved = jax.lax.map(body, args)
+        return (out.reshape(-1)[:n], avar.reshape(-1)[:n],
+                jnp.sum(starved))
+
+    cache[(int(max_points), bool(allow_extrapolation), int(block))] = kernel
+    return kernel
+
+
 def make_oi_gather_kernel(structure, max_points: int,
                           allow_extrapolation: bool):
     """Host-candidate OI block solver with the gathers INSIDE the jit.
