@@ -484,6 +484,45 @@ def _shortlist_dev(bpoints, points, structure, k_cap):
     return dev
 
 
+def _shortlist_dev_padded(bpoints, points, structure, k_cap, block):
+    """Shortlist device arrays pre-padded/blocked to (nb, block, K) — the
+    layout the ensi/ensi_multi serve sweeps consume. Cached on bpoints."""
+    from ..ops.canonical import canonical_shortlist
+    sl = canonical_shortlist(bpoints, points, structure, k_cap)
+    cache = bpoints.__dict__.setdefault("_canon_dev_pad_cache", {})
+    key = (id(sl), int(block))
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    n, k = sl.sel.shape
+    nb = -(-n // block)
+    pad = nb * block - n
+
+    def pad_to(v, fill):
+        if not pad:
+            return v
+        return np.concatenate(
+            [v, np.full((pad,) + v.shape[1:], fill, v.dtype)])
+
+    dev = (jnp.asarray(pad_to(sl.sel, 0).reshape(nb, block, k)),
+           jnp.asarray(pad_to(sl.rho, 0).reshape(nb, block, k)),
+           jnp.asarray(pad_to(sl.valid, False).reshape(nb, block, k)))
+    if len(cache) > 4:
+        cache.clear()
+    cache[key] = (dev, sl)
+    return dev, sl
+
+
+def _shortlist_starved(sl, obs_ok, s_cap):
+    """True when any truncated row keeps fewer than s_cap valid
+    candidates under this cycle's obs validity (the reference digs
+    deeper than the shortlist there; callers must fall back)."""
+    if not sl.truncated.any():
+        return False
+    cnt = (obs_ok[sl.sel] & sl.valid).sum(axis=1)
+    return bool((sl.truncated & (cnt < s_cap)).any())
+
+
 def _oi_points_shortlist(bpoints, background, bvariance, points, pobs,
                          pratios, pbackground, structure, max_points,
                          allow_extrapolation):

@@ -6,10 +6,12 @@ import numpy as np
 
 from ..core.grid import Grid
 from ..core.points import Points
-from ..ops.oi_ensi import make_ensi_dense_sweep, make_ensi_kernel
+from ..ops.oi_ensi import (make_ensi_dense_sweep, make_ensi_kernel,
+                           make_ensi_shortlist_sweep)
 from ._common import asarray_f32, on_host
 from .oi import (_BALL_QUERY_MAX, _BLOCK, _candidates, _candidates_block,
-                 _device_fields, _origin)
+                 _device_fields, _origin, _shortlist_dev,
+                 _shortlist_starved)
 
 
 def _warn_condition(count: int):
@@ -85,6 +87,20 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
         return output.reshape(background.shape)
     kidx = np.nonzero(keep)[0]
     opts = points.subset(kidx)
+
+    # Canonical-shortlist device path: selection order/rho shared with
+    # the serving pipelines and the native host solver (ops/canonical.py)
+    # so the per-call top-k decision is bit-identical across paths.
+    # Host fallback when any truncated row is starved this cycle.
+    if not on_host() and max_points > 0:
+        res_sl = _ensi_shortlist(
+            bpoints, flat_bg, valid_ens, points, pobs, psigmas, y_hat,
+            y_anom, structure, max_points, allow_extrapolation)
+        if res_sl is not None:
+            out_valid, n_cond = res_sl
+            _warn_condition(n_cond)
+            output[:, valid_ens] = out_valid
+            return output.reshape(background.shape)
 
     # Dense device path: selection on device, one dispatch for the grid
     # Dense all-obs sweep is accelerator-only; on the host the cached
@@ -196,6 +212,34 @@ def optimal_interpolation_ensi(bgrid, background, points, pobs, psigmas,
     _warn_condition(int(sum(int(np.asarray(jnp.sum(c))) for c in conds)))
     output[:, valid_ens] = out_valid
     return output.reshape(background.shape)
+
+
+def _ensi_shortlist(bpoints, flat_bg, valid_ens, points, pobs, psigmas,
+                    y_hat, y_anom, structure, max_points,
+                    allow_extrapolation):
+    """Accelerator EnSI from the canonical shortlist; (analysis_valid,
+    n_cond) or None when a starved row demands the full-depth path."""
+    n_obs = points.size()
+    if n_obs == 0:
+        return None
+    k_cap = min(n_obs, max(4 * int(max_points), 32))
+    s_cap = min(int(max_points), k_cap)
+    sel_d, rho_d, val_d, tr_d, sl = _shortlist_dev(bpoints, points,
+                                                   structure, k_cap)
+    if _shortlist_starved(sl, np.isfinite(pobs), s_cap):
+        return None
+    e = max(len(valid_ens), 1)
+    block = max(8192, min(_BLOCK, (1 << 27) // max(32 * e, 1),
+                          (1 << 27) // max(sl.k_cap, 1)))
+    kernel = make_ensi_shortlist_sweep(structure, int(max_points),
+                                       bool(allow_extrapolation), block)
+    out_j, cond_bad = kernel(
+        sel_d, rho_d, val_d, jnp.asarray(flat_bg[:, valid_ens]),
+        jnp.asarray(pobs), jnp.asarray(psigmas),
+        jnp.asarray(np.ascontiguousarray(y_anom[:, valid_ens],
+                                         np.float32)),
+        jnp.asarray(y_hat.astype(np.float32)))
+    return np.asarray(out_j), int(np.asarray(jnp.sum(cond_bad)))
 
 
 def _ensi_native(bpoints, opts, loc, structure, kt, p1_np, o_np, obs_k,

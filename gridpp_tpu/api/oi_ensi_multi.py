@@ -9,9 +9,11 @@ import numpy as np
 
 from ..core.grid import Grid
 from ..ops.oi_ensi_multi import (DEFAULT_MIN_STD, make_ebe_kernel,
-                                 make_ebesc_kernel, make_utem_kernel)
-from ._common import asarray_f32
-from .oi import _BLOCK, _candidates, _device_fields, _origin
+                                 make_ebesc_kernel, make_member_serve_sweep,
+                                 make_utem_kernel, make_utem_serve_sweep)
+from ._common import asarray_f32, on_host
+from .oi import (_BLOCK, _candidates, _device_fields, _origin,
+                 _shortlist_dev_padded, _shortlist_starved)
 
 __all__ = [
     "optimal_interpolation_ensi_multi_ebe",
@@ -159,6 +161,96 @@ def _native_ready(structure):
     return kt
 
 
+_SERVE_BLOCK = 16384
+
+
+def _multi_shortlist_prep(bpoints, points, structure, max_points, obs_ok):
+    """Padded canonical-shortlist device tables + starved precheck.
+
+    Returns (cand_padded, s_cap) or None when the shortlist path does
+    not apply this cycle (host backend, no obs, or a starved row)."""
+    n_obs = points.size()
+    if n_obs == 0 or max_points <= 0:
+        return None
+    k_cap = min(n_obs, max(4 * int(max_points), 32))
+    s_cap = min(int(max_points), k_cap)
+    cand, sl = _shortlist_dev_padded(bpoints, points, structure, k_cap,
+                                     _SERVE_BLOCK)
+    if _shortlist_starved(sl, obs_ok, s_cap):
+        return None
+    return cand, s_cap
+
+
+def _member_shortlist(bpoints, points, structure, max_points, allow,
+                      bg_v, flat_ratios, pobs, pratios, pbackground,
+                      valid_ens, flat_bgc=None, pbackground_corr=None):
+    """Canonical-shortlist device path for ebe/ebesc (the
+    make_member_serve_sweep cycle the MultiEnsiPipeline runs, fed with
+    the API's own per-obs vectors). Returns analysis columns or None."""
+    use_z = flat_bgc is not None
+    obs_ok = np.isfinite(pobs[:, 0])
+    prep = _multi_shortlist_prep(bpoints, points, structure, max_points,
+                                 obs_ok)
+    if prep is None:
+        return None
+    cand, s_cap = prep
+    origin = _origin(bpoints)
+    o_fields = _device_fields(points, structure, origin)
+    field_keys = tuple(o_fields)
+    f = len(field_keys)
+    e = len(valid_ens)
+    n_obs = points.size()
+    tabf = jnp.stack([o_fields[k] for k in field_keys], axis=1)
+    innov = (pobs[:, valid_ens] - pbackground[:, valid_ens]).astype(
+        np.float32)
+    cols = [tabf, jnp.asarray(pratios)[:, None], jnp.asarray(innov)]
+    if use_z:
+        cols.append(jnp.asarray(_norm_anom(pbackground_corr, valid_ens)))
+        x_l = jnp.asarray(_norm_anom(flat_bgc, valid_ens))
+    else:
+        x_l = jnp.zeros((1, 1), jnp.float32)
+    w = f + 1 + (2 if use_z else 1) * e
+    padw = -(-w // 8) * 8
+    cols.append(jnp.zeros((n_obs, padw - w), jnp.float32))
+    tab = jnp.concatenate(cols, axis=1)
+    sweep = make_member_serve_sweep(structure, field_keys, s_cap,
+                                    _SERVE_BLOCK, bool(allow), use_z)
+    out = sweep(jnp.asarray(np.ascontiguousarray(bg_v, np.float32)),
+                jnp.asarray(flat_ratios), x_l, tab, jnp.asarray(obs_ok),
+                *cand)
+    return np.asarray(out)
+
+
+def _utem_shortlist(bpoints, points, structure, max_points, allow, bg_v,
+                    bgc_v, flat_ratios, pobs, pratios, y_hat, y_anom,
+                    y_corr, valid_ens):
+    """Canonical-shortlist device path for utem. Returns (analysis
+    columns, n_cond) or None."""
+    obs_ok = np.isfinite(pobs)
+    prep = _multi_shortlist_prep(bpoints, points, structure, max_points,
+                                 obs_ok)
+    if prep is None:
+        return None
+    cand, s_cap = prep
+    e = len(valid_ens)
+    n_obs = points.size()
+    w = 3 + 2 * e
+    padw = -(-w // 8) * 8
+    tab = jnp.concatenate(
+        [jnp.asarray(pobs)[:, None], jnp.asarray(pratios)[:, None],
+         jnp.asarray(y_hat.astype(np.float32))[:, None],
+         jnp.asarray(y_anom.astype(np.float32)),
+         jnp.asarray(y_corr),
+         jnp.zeros((n_obs, padw - w), jnp.float32)], axis=1)
+    sweep = make_utem_serve_sweep(structure, s_cap, _SERVE_BLOCK,
+                                  bool(allow))
+    out, cond_bad = sweep(
+        jnp.asarray(np.ascontiguousarray(bg_v, np.float32)),
+        jnp.asarray(np.ascontiguousarray(bgc_v, np.float32)),
+        jnp.asarray(flat_ratios), tab, jnp.asarray(obs_ok), *cand)
+    return np.asarray(out), int(np.asarray(cond_bad))
+
+
 def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
                                          background_corr, points, pobs,
                                          pratios, pbackground,
@@ -199,6 +291,18 @@ def optimal_interpolation_ensi_multi_ebe(bgrid, bratios, background,
         & np.isfinite(pbackground_corr).all(axis=0))[0]
     if valid_ens.size == 0:
         return output.reshape(background.shape)
+
+    # Canonical-shortlist device path (selection bits shared with the
+    # pipelines and native solvers, ops/canonical.py); falls through to
+    # the full-depth paths on the host backend or starved rows.
+    if not on_host():
+        out_sl = _member_shortlist(
+            bpoints, points, structure, max_points, allow_extrapolation,
+            flat_bg[:, valid_ens], flat_ratios, pobs, pratios,
+            pbackground, valid_ens, flat_bgc, pbackground_corr)
+        if out_sl is not None:
+            output[:, valid_ens] = out_sl
+            return output.reshape(background.shape)
 
     prep = _common_prep(bpoints, points, structure, max_points,
                         np.isfinite(pobs[:, 0]))
@@ -275,6 +379,16 @@ def optimal_interpolation_ensi_multi_ebesc(bgrid, bratios, background,
                            & np.isfinite(pbackground).all(axis=0))[0]
     if valid_ens.size == 0:
         return output.reshape(background.shape)
+    # Canonical-shortlist device path (see ebe above).
+    if not on_host():
+        out_sl = _member_shortlist(
+            bpoints, points, structure, max_points, allow_extrapolation,
+            flat_bg[:, valid_ens], flat_ratios, pobs, pratios,
+            pbackground, valid_ens)
+        if out_sl is not None:
+            output[:, valid_ens] = out_sl
+            return output.reshape(background.shape)
+
     prep = _common_prep(bpoints, points, structure, max_points,
                         np.isfinite(pobs[:, 0]))
     if prep is None:
@@ -355,16 +469,30 @@ def optimal_interpolation_ensi_multi_utem(bgrid, bratios, background,
         & np.isfinite(pbackground_corr).all(axis=0))[0]
     if valid_ens.size == 0:
         return output.reshape(background.shape)
+    pv = pbackground[:, valid_ens].astype(np.float64)
+    y_hat = pv.mean(axis=1)
+    y_anom = np.where(np.isfinite(y_hat)[:, None], pv - y_hat[:, None], 0)
+    y_corr = _norm_anom(pbackground_corr, valid_ens)
+
+    # Canonical-shortlist device path (see ebe above).
+    if not on_host():
+        res_sl = _utem_shortlist(
+            bpoints, points, structure, max_points, allow_extrapolation,
+            flat_bg[:, valid_ens], flat_bgc[:, valid_ens], flat_ratios,
+            pobs, pratios, y_hat, y_anom, y_corr, valid_ens)
+        if res_sl is not None:
+            out_v, n_cond = res_sl
+            if n_cond:
+                from .oi_ensi import _warn_condition
+                _warn_condition(n_cond)
+            output[:, valid_ens] = out_v
+            return output.reshape(background.shape)
+
     prep = _common_prep(bpoints, points, structure, max_points,
                         np.isfinite(pobs))
     if prep is None:
         return output.reshape(background.shape)
     keep, cand, mask, p1_all, o_fields, loc = prep
-
-    pv = pbackground[:, valid_ens].astype(np.float64)
-    y_hat = pv.mean(axis=1)
-    y_anom = np.where(np.isfinite(y_hat)[:, None], pv - y_hat[:, None], 0)
-    y_corr = _norm_anom(pbackground_corr, valid_ens)
 
     kt = _native_ready(structure)
     if kt is not None:

@@ -234,6 +234,64 @@ def make_ensi_kernel(structure, max_points: int, allow_extrapolation: bool):
     return kernel
 
 
+def make_ensi_shortlist_sweep(structure, max_points: int,
+                              allow_extrapolation: bool, block: int):
+    """Whole-grid EnSI from a canonical candidate shortlist (ONE
+    dispatch). Selection order/rho come from the host-computed canonical
+    shortlist (ops/canonical.py) so the API's per-call top-k decision is
+    bit-identical to the serving pipelines' and the native host
+    solver's. Per call: mask candidates with invalid obs, re-select the
+    top max_points among survivors, run the local ensemble transform.
+    The caller is responsible for the starved-row fallback (rows whose
+    truncated shortlist keeps fewer than max_points valid candidates)."""
+    cache = structure.__dict__.setdefault("_ensi_shortlist_sweep_cache", {})
+    key = (int(max_points), bool(allow_extrapolation), int(block))
+    if key in cache:
+        return cache[key]
+
+    @jax.jit
+    def kernel(sel, rho, valid, background, obs, sigmas, y_anom, y_hat):
+        """sel/rho/valid: (N, K) canonical shortlist; background: (N, E);
+        obs/sigmas/y_hat: (P,); y_anom: (P, E)."""
+        n, k_cap = sel.shape
+        e = background.shape[1]
+        s_cap = min(max_points, k_cap) if max_points > 0 else k_cap
+        obs_ok = jnp.isfinite(obs)
+        nb = -(-n // block)
+        pad = nb * block - n
+
+        def pad_to(v, fill):
+            if not pad:
+                return v
+            return jnp.concatenate(
+                [v, jnp.full((pad,) + v.shape[1:], fill, v.dtype)])
+
+        args = (pad_to(sel, 0).reshape(nb, block, k_cap),
+                pad_to(rho, 0.0).reshape(nb, block, k_cap),
+                pad_to(valid, False).reshape(nb, block, k_cap),
+                pad_to(background, jnp.nan).reshape(nb, block, e))
+
+        def body(chunk):
+            selc, rhoc, valc, bgc = chunk
+            v = valc & jnp.take(obs_ok, selc, axis=0)
+            vals, sub = jax.lax.top_k(jnp.where(v, rhoc, -jnp.inf), s_cap)
+            sel_valid = jnp.isfinite(vals)
+            l_rho = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
+            g = jnp.take_along_axis(selc, sub, axis=1)
+            l_obs = jnp.take(obs, g, axis=0)
+            l_sig = jnp.take(sigmas, g, axis=0)
+            l_yhat = jnp.take(y_hat, g, axis=0)
+            l_y = jnp.take(y_anom, g, axis=0)  # (B, S, E)
+            return _ensi_update(structure, sel_valid, l_rho, l_obs, l_sig,
+                                l_y, l_yhat, bgc, allow_extrapolation)
+
+        out, cond_bad = jax.lax.map(body, args)
+        return out.reshape(-1, e)[:n], cond_bad.reshape(-1)[:n]
+
+    cache[key] = kernel
+    return kernel
+
+
 def make_ensi_dense_sweep(structure, max_points: int,
                           allow_extrapolation: bool, block: int):
     """Whole-grid EnSI in one dispatch: rho against every observation,
