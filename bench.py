@@ -112,9 +112,13 @@ def main():
     # --- fast path (static network: precomputed gain weights) ----------
     bench_path("fast", lambda i: pipe.run_device(bgs[i], obs[i],
                                                  assume_valid=True))
-    # --- general path (full tiled re-solve each cycle) ------------------
+    # --- general path (dynamic network serving: device-guarded weights
+    # cache, rebuilt only when obs validity or ratios change) ------------
     bench_path("general", lambda i: pipe.run_device(bgs[i], obs[i],
                                                     path="general"))
+    # --- general path cache-miss cost (full tiled re-solve each cycle) --
+    bench_path("general_resolve",
+               lambda i: pipe.run_device(bgs[i], obs[i], path="resolve"))
 
     # --- EnSI (10-member ensemble OI) -----------------------------------
     n_ens = 10
@@ -125,7 +129,7 @@ def main():
     bench_path("ensi", lambda i: epipe.run_device(
         bg_ens, obs[i], psig, assume_valid=True)[0])
 
-    # --- ensi_multi (ebesc / utem), 10 members --------------------------
+    # --- ensi_multi (ebe / ebesc / utem), 10 members --------------------
     pobs_e = jnp.asarray(
         (np.asarray(pback)[:, None]
          + rng.normal(0, 1, (p, n_ens))).astype(np.float32))
@@ -134,15 +138,39 @@ def main():
                                      variant="ebesc", max_points=10)
     bench_path("ensi_multi_ebesc", lambda i: mpipe.run_device(
         bg_ens, pobs_e + jnp.float32(i * 0.01), prat_d)[0])
+    epipe_m = gridpp.MultiEnsiPipeline(grid, points, structure,
+                                       variant="ebe", max_points=10)
+    bench_path("ensi_multi_ebe", lambda i: epipe_m.run_device(
+        bg_ens, pobs_e + jnp.float32(i * 0.01), prat_d,
+        background_corr=bg_ens)[0])
     upipe = gridpp.MultiEnsiPipeline(grid, points, structure,
                                      variant="utem", max_points=10)
     bench_path("ensi_multi_utem", lambda i: upipe.run_device(
         bg_ens, obs[i], prat_d, background_corr=bg_ens)[0])
 
+    # --- overlapped streaming serving (serve_stream: D2H of cycle N
+    # overlaps upload+compute of N+1). Host-side inputs per cycle, so
+    # this measures true end-to-end serving throughput.
+    def stream_rate(pipe_obj, make_cycle, n_cycles):
+        cyc = [make_cycle(i) for i in range(n_cycles)]
+        next(iter(pipe_obj.serve_stream([cyc[0]])))  # warm/compile
+        t0 = time.perf_counter()
+        for _ in pipe_obj.serve_stream(cyc):
+            pass
+        dt = (time.perf_counter() - t0) / n_cycles
+        return round(n * n / dt, 1)
+
+    results["fast"]["serving_overlapped_pts_per_s"] = stream_rate(
+        pipe, lambda i: (background + np.float32(i), pobs), 6)
+    results["ensi"]["serving_overlapped_pts_per_s"] = stream_rate(
+        epipe, lambda i: (ens_np + np.float32(i), pobs,
+                          np.full(p, 1.5, np.float32)), 4)
+
     baseline = 12_490.0  # reference combined gridpoints/s (see docstring)
     pts = n * n
-    uploads = {"fast": h2d, "general": h2d, "ensi": h2d_ens,
-               "ensi_multi_ebesc": h2d_ens, "ensi_multi_utem": h2d_ens}
+    uploads = {"fast": h2d, "general": h2d, "general_resolve": h2d,
+               "ensi": h2d_ens, "ensi_multi_ebesc": h2d_ens,
+               "ensi_multi_ebe": h2d_ens, "ensi_multi_utem": h2d_ens}
 
     def serving(key):
         r = results[key]
@@ -170,6 +198,9 @@ def main():
         out[f"{key}_serving_pts_per_s"] = serving(key)
         out[f"{key}_d2h_s"] = r["d2h_s"]
         out[f"{key}_out_mb"] = r["out_mb"]
+        if "serving_overlapped_pts_per_s" in r:
+            out[f"{key}_serving_overlapped_pts_per_s"] = \
+                r["serving_overlapped_pts_per_s"]
     print(json.dumps(out))
 
 

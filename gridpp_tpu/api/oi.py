@@ -532,7 +532,7 @@ def _oi_points_shortlist(bpoints, background, bvariance, points, pobs,
     is starved this cycle (caller falls back to a full-depth path).
     """
     n_obs = points.size()
-    k_cap = min(n_obs, max(4 * int(max_points), 32))
+    k_cap = min(n_obs, max(2 * int(max_points), 16))
     sel_d, rho_d, val_d, tr_d, sl = _shortlist_dev(bpoints, points,
                                                    structure, k_cap)
     origin = _origin(bpoints)

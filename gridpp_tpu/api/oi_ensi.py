@@ -222,7 +222,7 @@ def _ensi_shortlist(bpoints, flat_bg, valid_ens, points, pobs, psigmas,
     n_obs = points.size()
     if n_obs == 0:
         return None
-    k_cap = min(n_obs, max(4 * int(max_points), 32))
+    k_cap = min(n_obs, max(2 * int(max_points), 16))
     s_cap = min(int(max_points), k_cap)
     sel_d, rho_d, val_d, tr_d, sl = _shortlist_dev(bpoints, points,
                                                    structure, k_cap)

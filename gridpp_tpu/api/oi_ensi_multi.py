@@ -172,7 +172,7 @@ def _multi_shortlist_prep(bpoints, points, structure, max_points, obs_ok):
     n_obs = points.size()
     if n_obs == 0 or max_points <= 0:
         return None
-    k_cap = min(n_obs, max(4 * int(max_points), 32))
+    k_cap = min(n_obs, max(2 * int(max_points), 16))
     s_cap = min(int(max_points), k_cap)
     cand, sl = _shortlist_dev_padded(bpoints, points, structure, k_cap,
                                      _SERVE_BLOCK)

@@ -215,6 +215,80 @@ class Pipeline:
         self._run_general = lambda b, o, r: run(b, o, r, self._geom_dev)
         self._run = self._run_general
 
+        # Guarded general path: the cycle's expensive half (top-k
+        # re-selection + S x S solve) depends only on (obs validity,
+        # ratios). Cache the solved weights table device-side and
+        # refresh it under lax.cond only when a device guard sees the
+        # validity or ratios change — the common static-network cycle
+        # then costs one innovation paging + weighted sum (the fast
+        # path's kernel), with NO host synchronization in the loop.
+        # Identical output to the full re-solve: build_weights_dynamic
+        # shares oi_tiled_sweep's selection and solve, and one-hot
+        # paging of innovations is an exact pick.
+        n_obs = self.points.size()
+        tile_table = self._geom_dev["tile_table"]
+        s_cap = (min(max_points, self._geom.k_cap) if max_points > 0
+                 else self._geom.k_cap)
+        t_count, tb, _ = self._geom_dev["local_idx"].shape
+
+        @jax.jit
+        def run_guarded(background, pobs, pratios, gdev, state):
+            smoothed = background
+            if halfwidth > 0:
+                smoothed = smooth(background)
+            flat = smoothed.reshape(-1)
+            pback = jnp.take(flat, obs_nn)
+            valid01 = (jnp.isfinite(pobs)
+                       & jnp.isfinite(pback)).astype(jnp.float32)
+            changed = ((state["init"] == 0)
+                       | jnp.any(valid01 != state["valid"])
+                       | jnp.any(pratios != state["ratios"]))
+
+            def rebuild(_):
+                sw = tiled_ops.build_weights_dynamic(
+                    struct, gdev, static_keys, pratios, valid01,
+                    max_points)
+                return sw["local_s"], sw["valid_s"], sw["weights"]
+
+            def keep(_):
+                return (state["local_s"], state["valid_s"],
+                        state["weights"])
+
+            local_s, valid_s, weights = jax.lax.cond(changed, rebuild,
+                                                     keep, None)
+            innov = jnp.where(valid01 > 0, pobs - pback, 0.0)
+            bg_t = tiled_ops.tile_fields(smoothed, geom)
+            out_t = tiled_ops.oi_tiled_apply_weights(
+                {"local_s": local_s, "valid_s": valid_s,
+                 "weights": weights},
+                gdev["tile_table"], bg_t, innov, allow)
+            out = tiled_ops.untile_fields(out_t, geom).reshape(shape)
+            new_state = {"init": jnp.int32(1), "valid": valid01,
+                         "ratios": pratios, "local_s": local_s,
+                         "valid_s": valid_s, "weights": weights}
+            return out, new_state
+
+        def zero_state():
+            return {
+                "init": jnp.int32(0),
+                "valid": jnp.zeros(n_obs, jnp.float32),
+                "ratios": jnp.zeros(n_obs, jnp.float32),
+                "local_s": jnp.zeros((t_count, tb, s_cap), jnp.int32),
+                "valid_s": jnp.zeros((t_count, tb, s_cap), bool),
+                "weights": jnp.zeros((t_count, tb, s_cap), jnp.float32),
+            }
+
+        self._gw_state = None
+
+        def run_general_guarded(b, o, r):
+            if self._gw_state is None:
+                self._gw_state = zero_state()
+            out, self._gw_state = run_guarded(b, o, r, self._geom_dev,
+                                              self._gw_state)
+            return out
+
+        self._run = run_general_guarded
+
         if ratios is not None:
             # Static-network fast path: the whole per-gridpoint solve is
             # geometry once ratios are fixed; a cycle is one weighted sum.
@@ -267,15 +341,20 @@ class Pipeline:
         sync) when the caller has already validated the cycle's inputs —
         required for async streaming of back-to-back cycles.
         path: "auto" (fast when eligible), "fast" (require the static-
-        ratios weight path), or "general" (force the full tiled re-solve,
-        e.g. for benchmarking the dynamic-network path).
+        ratios weight path), "general" (the dynamic-network serving
+        path: on tiled grids a device-guarded weights cache rebuilt only
+        when obs validity or ratios change), or "resolve" (force the
+        full tiled re-solve every cycle, e.g. to benchmark the
+        cache-miss cost).
         """
-        if path == "general":
+        if path in ("general", "resolve"):
             if pratios is None:
                 pratios = self._init_ratios
             if pratios is None:
                 raise ValueError("pratios required for the general path")
             pratios = jnp.asarray(np.asarray(pratios, np.float32))
+            if path == "resolve" and hasattr(self, "_run_general"):
+                return self._run_general(background, pobs, pratios)
             return self._run(background, pobs, pratios)
         if path == "fast" and self._static_w is None:
             raise ValueError("Pipeline was built without static ratios")
@@ -291,6 +370,47 @@ class Pipeline:
                              "ratios)")
         pratios = jnp.asarray(np.asarray(pratios, np.float32))
         return self._run(background, pobs, pratios)
+
+    def serve_stream(self, cycles):
+        """Pipelined serving over an iterable of host cycles
+        (background, pobs[, pratios]); yields (Y, X) numpy analyses in
+        order. Cycle N's download overlaps cycle N+1's upload+compute
+        (see _serve_stream)."""
+        def run_one(args):
+            bg = np.asarray(args[0], np.float32)
+            po = np.asarray(args[1], np.float32)
+            pr = args[2] if len(args) > 2 else None
+            ok = bool(np.isfinite(po).all() and np.isfinite(bg).all())
+            return self.run_device(jnp.asarray(bg), jnp.asarray(po), pr,
+                                   assume_valid=ok)
+
+        return _serve_stream(run_one, cycles)
+
+
+def _serve_stream(run_one, cycles, to_host=np.asarray):
+    """Pipelined serving loop: H2D of cycle N+1 and compute of N+1 are
+    dispatched BEFORE cycle N's output download, so the download (the
+    dominant cost on slow links) overlaps the next cycle's compute and
+    the device never idles waiting for the host.
+
+    On a PCIe host this makes serving throughput ~= compute throughput.
+    On the axon tunnel used for development the link serializes H2D and
+    D2H (measured round 5: put+get back-to-back costs the sum), so only
+    the compute is hidden — the measured gain is reported honestly in
+    bench.py as *_serving_overlapped_pts_per_s.
+
+    run_one: callable(host_args_tuple) -> device output (async dispatch).
+    cycles: iterable of host argument tuples. Yields host outputs in
+    order.
+    """
+    prev = None
+    for args in cycles:
+        out = run_one(args)
+        if prev is not None:
+            yield to_host(prev)
+        prev = out
+    if prev is not None:
+        yield to_host(prev)
 
 
 class EnsiPipeline:
@@ -496,6 +616,21 @@ class EnsiPipeline:
                                  jnp.asarray(ps_np), assume_valid=valid)
         return np.asarray(out)
 
+    def serve_stream(self, cycles):
+        """Pipelined serving over an iterable of host cycles
+        (background, pobs, psigmas); yields (Y, X, E) numpy analyses in
+        order, overlapping each cycle's download with the next cycle's
+        upload+compute (see _serve_stream)."""
+        def run_one(args):
+            bg, po, ps = (np.asarray(a, np.float32) for a in args)
+            valid = bool(np.isfinite(bg).all() and np.isfinite(po).all()
+                         and np.isfinite(ps).all())
+            out, _ = self.run_device(jnp.asarray(bg), jnp.asarray(po),
+                                     jnp.asarray(ps), assume_valid=valid)
+            return out
+
+        return _serve_stream(run_one, cycles)
+
 
 class MultiEnsiPipeline:
     """Device serving path for the ensi_multi family (ebe/ebesc/utem).
@@ -660,3 +795,19 @@ class MultiEnsiPipeline:
             None if background_corr is None else
             jnp.asarray(np.asarray(background_corr, np.float32)))
         return np.asarray(out)
+
+    def serve_stream(self, cycles):
+        """Pipelined serving over an iterable of host cycles
+        (background, pobs, pratios[, background_corr]); yields
+        (Y, X, E) numpy analyses in order (see _serve_stream)."""
+        def run_one(args):
+            bgc = args[3] if len(args) > 3 else None
+            out, _ = self.run_device(
+                jnp.asarray(np.asarray(args[0], np.float32)),
+                jnp.asarray(np.asarray(args[1], np.float32)),
+                jnp.asarray(np.asarray(args[2], np.float32)),
+                None if bgc is None else
+                jnp.asarray(np.asarray(bgc, np.float32)))
+            return out
+
+        return _serve_stream(run_one, cycles)

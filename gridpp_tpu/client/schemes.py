@@ -510,32 +510,11 @@ class CalibratorRegression(Calibrator):
         ofile.add_field(self.variable, out.astype(np.float32))
 
 
-class CalibratorOi(Calibrator):
-    """Optimal interpolation against point observations from the parameter
-    file (a compact re-design of the 1218-line Calibrator/Oi.cpp on top of
-    the library OI)."""
-
-    def calibrate(self, ofile, parameter_file=None):
-        if parameter_file is None:
-            return
-        h = self.options.get("h", 10000.0, float)
-        v = self.options.get("v", 100.0, float)
-        max_points = self.options.get("maxPoints", 20, int)
-        eps2 = self.options.get("epsilon", 0.5, float)
-        points, params = parameter_file.to_points()
-        obs = params[:, 0]
-        structure = gridpp.BarnesStructure(h, v)
-        field = ofile.get_field(self.variable)
-        out = field.copy()
-        for t in range(field.shape[0]):
-            for e in range(field.shape[3]):
-                bg = field[t, :, :, e]
-                pback = gridpp.nearest(ofile.grid, points, bg)
-                ratios = np.full(points.size(), eps2, np.float32)
-                out[t, :, :, e] = gridpp.optimal_interpolation(
-                    ofile.grid, bg, points, obs, ratios, pback, structure,
-                    max_points)
-        ofile.add_field(self.variable, out)
+# The operational OI calibrator lives in its own module (the reference's
+# Calibrator/Oi.cpp is 1218 lines with ~30 options; see
+# client/oi_calibrator.py for the full ensemble/single-member
+# implementation with transforms, bias/delta state and screening).
+from .oi_calibrator import CalibratorOi  # noqa: E402
 
 
 class CalibratorCloud(Calibrator):

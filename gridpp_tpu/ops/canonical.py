@@ -143,13 +143,17 @@ def _rho_bound(structure, dist, h_rows):
 
 
 def _canonical_order(ids, rho, valid, n_obs):
-    """Stable order: rho descending, obs id ascending on exact ties,
-    invalid slots last. Returns take_along_axis index array."""
-    idk = np.where(valid, ids, n_obs)
-    o1 = np.argsort(idk, axis=1, kind="stable")
-    r1 = np.take_along_axis(np.where(valid, rho, -np.inf), o1, axis=1)
-    o2 = np.argsort(-r1, axis=1, kind="stable")
-    return np.take_along_axis(o1, o2, axis=1)
+    """Order: rho descending, obs id ascending on exact ties, invalid
+    slots last. Returns take_along_axis index array.
+
+    One argsort on a composite u64 key (valid rho is positive, so its
+    f32 bit pattern is order-preserving; obs id breaks exact-bit ties).
+    Keys are unique for valid slots, so sort stability is irrelevant."""
+    rb = np.ascontiguousarray(rho, np.float32).view(np.uint32)
+    key = ((np.uint64(0xFFFFFFFF) - rb.astype(np.uint64)) << np.uint64(32)
+           | ids.astype(np.uint64))
+    key = np.where(valid, key, np.uint64(0xFFFFFFFFFFFFFFFF))
+    return np.argsort(key, axis=1)
 
 
 def canonical_shortlist(bpoints, opts, structure: StructureFunction,
@@ -201,7 +205,7 @@ def canonical_shortlist(bpoints, opts, structure: StructureFunction,
         end = min(start + block, n)
         rows = np.arange(start, end)
         locb = loc[start:end]
-        k = min(n_obs, max(2 * k_cap, k_cap + 16))
+        k = min(n_obs, k_cap + max(8, k_cap // 2))
         pending = rows
         while pending.size:
             dist, cand = tree.query(bxyz[pending], k=k,
@@ -213,11 +217,12 @@ def canonical_shortlist(bpoints, opts, structure: StructureFunction,
             cand_m = np.where(inrad, cand, 0).astype(np.int32)
             rho_b = eval_rho(pending, cand_m, inrad)
             val_b = inrad & (rho_b > 0)
-            order = _canonical_order(cand_m, rho_b, val_b, n_obs)
-            osel = np.take_along_axis(cand_m, order, axis=1)[:, :k_cap]
+            order = _canonical_order(cand_m, rho_b, val_b,
+                                     n_obs)[:, :k_cap]
+            osel = np.take_along_axis(cand_m, order, axis=1)
             orho = np.take_along_axis(
-                np.where(val_b, rho_b, 0.0), order, axis=1)[:, :k_cap]
-            oval = np.take_along_axis(val_b, order, axis=1)[:, :k_cap]
+                np.where(val_b, rho_b, 0.0), order, axis=1)
+            oval = np.take_along_axis(val_b, order, axis=1)
 
             nvalid = val_b.sum(axis=1)
             # completeness: the proposal holds every in-range obs, or the
@@ -226,6 +231,7 @@ def canonical_shortlist(bpoints, opts, structure: StructureFunction,
             if k >= n_obs:
                 covered |= True
             need = ~covered
+            bound_done = np.zeros(pending.size, bool)
             if need.any():
                 bound = _rho_bound(structure, dist[need, -1],
                                    gfx["h"][pending[need]]
@@ -235,12 +241,16 @@ def canonical_shortlist(bpoints, opts, structure: StructureFunction,
                     ok = full & (orho[need, k_cap - 1] > bound)
                     idx = np.nonzero(need)[0]
                     need[idx[ok]] = False
+                    bound_done[idx[ok]] = True
             done = ~need
             didx = pending[done]
             sel[didx] = osel[done]
             rho[didx] = orho[done]
             valid[didx] = oval[done]
-            truncated[didx] = nvalid[done] > k_cap
+            # bound-completed rows may hold in-range candidates BEYOND
+            # the proposal; flag truncated conservatively so per-call
+            # starved checks never miss a dig-deeper row
+            truncated[didx] = (nvalid[done] > k_cap) | bound_done[done]
             pending = pending[need]
             if pending.size and k >= n_obs:
                 # should be unreachable (k == n_obs always covers)

@@ -229,6 +229,96 @@ def build_static_weights(structure, geom_dev, static_keys, ratios,
     }
 
 
+def build_weights_dynamic(structure, geom_dev, static_keys, ratios,
+                          obs_valid, max_points: int,
+                          tiles_per_step: int = 8):
+    """Solve per-gridpoint OI gain rows for THIS cycle's obs validity
+    and ratios (device, jit-composable).
+
+    The general serving cycle's expensive half — masked top-k
+    re-selection on the stored canonical rho, S x S assembly, batched
+    solve — depends only on (obs validity, ratios), not on the obs
+    VALUES. Computing it as an explicit weights table lets the serving
+    path cache it across cycles and refresh only when a device-side
+    guard sees the validity/ratios change (api/pipeline.py run_guarded);
+    selection and solve are identical to oi_tiled_sweep's, so applying
+    these weights reproduces the full re-solve bit for bit.
+
+    ratios: (P,) f32; obs_valid: (P,) f32 0/1 validity this cycle.
+    Returns {local_s, valid_s, weights} shaped (T, TB, S).
+    """
+    tile_table = geom_dev["tile_table"]
+    local_idx = geom_dev["local_idx"]
+    rho = geom_dev["rho"]
+    valid = geom_dev["valid"]
+    tile_static = geom_dev["tile_static"]
+    t_count, tb, k_cap = local_idx.shape
+    c_cap = tile_table.shape[1]
+    s_cap = min(max_points, k_cap) if max_points > 0 else k_cap
+    fs = tile_static.shape[-1]
+
+    table_rv = jnp.stack(
+        [jnp.take(ratios, tile_table, axis=0),
+         jnp.take(obs_valid, tile_table, axis=0)], axis=-1)  # (T, C, 2)
+    tall_all = jnp.concatenate([tile_static, table_rv], axis=-1)
+
+    nt = tiles_per_step
+    nsteps = -(-t_count // nt)
+    pad_t = nsteps * nt - t_count
+
+    def pad0(v):
+        if not pad_t:
+            return v
+        return jnp.concatenate(
+            [v, jnp.zeros((pad_t,) + v.shape[1:], v.dtype)])
+
+    args = (pad0(local_idx).reshape(nsteps, nt, tb, k_cap),
+            pad0(rho).reshape(nsteps, nt, tb, k_cap),
+            pad0(valid).reshape(nsteps, nt, tb, k_cap),
+            pad0(tall_all).reshape(nsteps, nt, c_cap, fs + 2))
+
+    arange_c = jnp.arange(c_cap, dtype=jnp.int32)
+    prec = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+
+    def body(chunk):
+        li, rh, va, tall = chunk
+        b = nt * tb
+        oh_k = (li[..., None] == arange_c).astype(jnp.float32)
+        fk = jnp.einsum("ntkc,ncf->ntkf", oh_k, tall, precision=prec)
+        fk = fk.reshape(b, k_cap, fs + 2)
+        va2 = va.reshape(b, k_cap) & (fk[:, :, fs + 1] > 0.5)
+        vals, sub, sel_valid = _select_top(rh.reshape(b, k_cap), va2,
+                                           s_cap)
+        lg = jnp.where(sel_valid, vals, 0.0).astype(jnp.float32)
+        fields = jnp.take_along_axis(fk, sub[:, :, None], axis=1)
+        sel_fields = {key: fields[:, :, i]
+                      for i, key in enumerate(static_keys)}
+        l_r = fields[:, :, fs]
+        ls = jnp.take_along_axis(li.reshape(b, k_cap), sub, axis=1)
+
+        # identical assembly/solve to _solve_selected (ops/oi.py)
+        ft = {key: v.T for key, v in sel_fields.items()}
+        pi = {key: v[:, None, :] for key, v in ft.items()}
+        pj = {key: v[None, :, :] for key, v in ft.items()}
+        lp = structure.corr_jnp(pi, pj).astype(jnp.float32)
+        sv = sel_valid.T
+        pair_valid = sv[:, None, :] & sv[None, :, :]
+        eye = jnp.eye(s_cap, dtype=jnp.float32)[:, :, None]
+        a_mat = jnp.where(pair_valid, lp, 0.0) + \
+            jnp.where(sv, l_r.T, 1.0)[:, None, :] * eye
+        a_mat = jnp.where(pair_valid | (eye > 0), a_mat, 0.0)
+        x = _gj_solve_batch_last(a_mat, lg.T.astype(jnp.float32)).T
+        x = jnp.where(sel_valid, x, 0.0)
+        return (ls.reshape(nt, tb, s_cap),
+                sel_valid.reshape(nt, tb, s_cap),
+                x.reshape(nt, tb, s_cap))
+
+    local_s, valid_s, weights = jax.lax.map(body, args)
+    return {"local_s": local_s.reshape(-1, tb, s_cap)[:t_count],
+            "valid_s": valid_s.reshape(-1, tb, s_cap)[:t_count],
+            "weights": weights.reshape(-1, tb, s_cap)[:t_count]}
+
+
 def oi_tiled_apply_weights(static_w, tile_table, background_t, innov,
                            allow_extrapolation: bool,
                            tiles_per_step: int = 32):
@@ -240,7 +330,6 @@ def oi_tiled_apply_weights(static_w, tile_table, background_t, innov,
     local_s = static_w["local_s"]
     valid_s = static_w["valid_s"]
     weights = static_w["weights"]
-    a_scalar = static_w["a_scalar"]
     t_count, tb, s_cap = local_s.shape
     c_cap = tile_table.shape[1]
 

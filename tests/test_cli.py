@@ -154,7 +154,7 @@ class TestNetcdf:
         target = str(tmp_path / "oi.nc")
         shutil.copy(os.path.join(FIXTURES, "10x10.nc"), target)
         rc = main([target, target, "-v", "air_temperature_2m",
-                   "-d", "bilinear", "-c", "oi", "h=100000", "maxPoints=5",
+                   "-d", "bilinear", "-c", "oi", "d=100000", "maxLocations=5",
                    "-p", os.path.join(FIXTURES, "parametersKriging.txt")])
         assert rc == 0
         out = FileNetcdf(target).get_field("air_temperature_2m")

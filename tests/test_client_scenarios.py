@@ -204,7 +204,7 @@ class TestCalibratorOiFixture:
         before = f.get_field(name).copy()
         par = get_parameter_file(fx("parametersKriging.txt"))
         assert par.is_location_dependent()
-        cal = CalibratorOi(name, Options("h=200000 maxPoints=10"))
+        cal = CalibratorOi(name, Options("d=200000 maxLocations=10"))
         cal.calibrate(f, par)
         after = f.get_field(name)
         assert after.shape == before.shape
@@ -225,7 +225,7 @@ class TestCalibratorOiFixture:
         _shutil.copy(fx("10x10.nc"), dst)
         rc = main([src, dst, "-v", "air_temperature_2m",
                    "-d", "nearest",
-                   "-c", "oi", "h=200000",
+                   "-c", "oi", "d=200000",
                    "-p", fx("parametersKriging.txt")])
         assert rc == 0
         out = FileNetcdf(dst)

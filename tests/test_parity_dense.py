@@ -158,7 +158,10 @@ def test_canonical_shortlist_matches_brute_force():
                               np.where(bv, bs, -1)), name
         assert np.array_equal(np.where(sl.valid, sl.rho, 0),
                               np.where(bv, br, 0)), name
-        assert np.array_equal(sl.truncated, val.sum(1) > k_cap), name
+        # truncated must never miss a truly truncated row (it may be
+        # conservatively True for rows completed via the rho bound)
+        true_trunc = val.sum(1) > k_cap
+        assert (sl.truncated | ~true_trunc).all(), name
 
 
 def test_canonical_tie_break_by_obs_id():
