@@ -1620,4 +1620,125 @@ void oi_utem_host_solve(
     });
 }
 
+// ---------------------------------------------------------------------------
+// local_distribution_correction host kernel
+// (reference src/api/local_distribution_correction.cpp:18-203).
+//
+// Same algorithm as the jitted path in ops/ldc.py, threaded over
+// gridpoint slabs: per gridpoint, gather the valid (obs, fcst, rho)
+// pairs from the candidate shortlist, build rho-weighted trimmed
+// quantile curves for obs and fcst (stable sort by value, cumulative
+// rho normalized into [minq, maxq]), then apply the piecewise
+// precipitation rules. The jitted path's (M+1)-point tail-clamped curve
+// is equivalent to the (kcount+1)-point curve built here under
+// interp_curve's flat-interval rules (repeated tail x-values collapse
+// to the first/last occurrence), so results match to float rounding.
+//
+// bg:   (n,) flattened background
+// cand: (n, k) candidate obs ids; mask: (n, k) validity
+// rho:  (n, k) structure-function correlations
+// obs/fcst: (t, s_obs) row-major observation / forecast-at-obs values
+// out:  (n,)
+void ldc_host(const float* bg, int64_t n, const int32_t* cand,
+              const uint8_t* mask, const float* rho, int64_t k,
+              const float* obs, const float* fcst, int64_t t,
+              int64_t s_obs, float minq, float maxq, int32_t min_points,
+              float* out) {
+    parallel_rows(n, [&](int64_t rs, int64_t re) {
+        const int64_t m = k * t;
+        std::vector<float> ov, fv, rv;       // valid pairs, flat order
+        std::vector<int32_t> ord;
+        std::vector<float> rcv, rcq, fcv, fcq;  // curves (vals, quant)
+        ov.reserve(m);
+        fv.reserve(m);
+        rv.reserve(m);
+        ord.reserve(m);
+        rcv.reserve(m + 1);
+        rcq.reserve(m + 1);
+        fcv.reserve(m + 1);
+        fcq.reserve(m + 1);
+        for (int64_t i = rs; i < re; i++) {
+            const float b = bg[i];
+            ov.clear();
+            fv.clear();
+            rv.clear();
+            float sum_rho = 0.0f;
+            for (int64_t ki = 0; ki < k; ki++) {
+                if (!mask[i * k + ki]) continue;
+                const float r = rho[i * k + ki];
+                const int64_t c = cand[i * k + ki];
+                for (int64_t ti = 0; ti < t; ti++) {
+                    const float o = obs[ti * s_obs + c];
+                    const float f = fcst[ti * s_obs + c];
+                    if (!(std::isfinite(o) && std::isfinite(f) &&
+                          o >= 0.0f && f >= 0.0f))
+                        continue;
+                    ov.push_back(o);
+                    fv.push_back(f);
+                    rv.push_back(r);
+                    sum_rho += r;
+                }
+            }
+            const int32_t count = (int32_t)ov.size();
+            if (count < min_points || !std::isfinite(b)) {
+                out[i] = b;
+                continue;
+            }
+            const int32_t d0 = (int32_t)((float)count * minq);
+            const int32_t d1 = (int32_t)((float)count * maxq);
+            const int32_t kcount = std::max(d1 - d0, 0);
+            float r_last = 0.0f, f_last = 0.0f;
+            if (kcount > 0) {
+                auto build = [&](const std::vector<float>& vals,
+                                 std::vector<float>& cv,
+                                 std::vector<float>& cq, float& lastval) {
+                    ord.resize(count);
+                    for (int32_t j = 0; j < count; j++) ord[j] = j;
+                    std::stable_sort(
+                        ord.begin(), ord.end(),
+                        [&](int32_t a, int32_t bi) {
+                            return vals[a] < vals[bi];
+                        });
+                    cv.clear();
+                    cq.clear();
+                    cv.push_back(0.0f);  // leading (0, 0) curve point
+                    cq.push_back(0.0f);
+                    float total = 0.0f;
+                    for (int32_t j = d0; j < d1; j++) total += rv[ord[j]];
+                    const float tden = (total == 0.0f) ? 1.0f : total;
+                    float csum = 0.0f;
+                    for (int32_t j = d0; j < d1; j++) {
+                        csum += rv[ord[j]];
+                        float q = minq + csum / tden * (maxq - minq);
+                        cv.push_back(vals[ord[j]]);
+                        cq.push_back(std::min(q, maxq));
+                    }
+                    lastval = vals[ord[d1 - 1]];
+                };
+                build(ov, rcv, rcq, r_last);
+                build(fv, fcv, fcq, f_last);
+            }
+            float result;
+            if (b < 0.01f) {
+                result = 0.0f;  // rule 1: dry background stays dry
+            } else if (r_last <= 0.0f) {
+                // rule 2: no observed rain (2a clear-air / 2c convection)
+                result = (b < 3.0f * f_last || b < 0.1f) ? 0.0f : b;
+            } else if (b >= f_last) {
+                // rule 3: above the curve, preserve end-of-curve bias
+                result = b + (r_last - f_last);
+            } else {
+                // rule 4: quantile map inside the curve, density blend
+                const float q = interp_curve(b, fcv.data(), fcq.data(),
+                                             (int64_t)fcv.size());
+                const float nr = interp_curve(q, rcq.data(), rcv.data(),
+                                              (int64_t)rcv.size());
+                const float w0 = 1.0f - std::exp(-0.01f * sum_rho);
+                result = w0 * nr + (1.0f - w0) * b;
+            }
+            out[i] = result;
+        }
+    });
+}
+
 }  // extern "C"

@@ -84,8 +84,11 @@ def _segment_statistic(vals, lens, statistic, quantile=0.5):
     qn = q * np.maximum(cnt - 1, 0)
     lo = np.floor(qn).astype(np.int64)
     hi = np.ceil(qn).astype(np.int64)
-    lv = sv[np.minimum(offs + lo, offs + np.maximum(cnt - 1, 0))]
-    uv = sv[np.minimum(offs + hi, offs + np.maximum(cnt - 1, 0))]
+    # clamp into the flat array: empty groups (masked out by nz below)
+    # can place offs at the end of sv when they trail the last value
+    last = np.minimum(offs + np.maximum(cnt - 1, 0), sv.size - 1)
+    lv = sv[np.minimum(offs + lo, last)]
+    uv = sv[np.minimum(offs + hi, last)]
     denom = (hi - lo).astype(np.float64)
     f = np.where(denom > 0, (qn - lo) / np.where(denom > 0, denom, 1), 0)
     out[nz] = (lv + (uv - lv) * f)[nz].astype(np.float32)
@@ -144,8 +147,10 @@ def gridding_nearest(target, points, values, min_num, statistic):
     qlats, qlons, oshape = _target_latlon_flat(target)
     n_out = int(np.prod(oshape))
     if isinstance(target, Grid):
-        nn = target.index.nearest(points.lats.astype(np.float64),
-                                  points.lons.astype(np.float64))
+        # Scatter map target-cell-of-each-obs is pure geometry: reuse the
+        # cached per-(grid, points) nearest map (the same amortization the
+        # downscaling ops use) instead of re-running the NN query per call
+        nn = target.nearest_map(points.lats, points.lons, cache_obj=points)
     else:
         nn = target.index.nearest(points.lats.astype(np.float64),
                                   points.lons.astype(np.float64))

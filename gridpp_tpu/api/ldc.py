@@ -12,6 +12,32 @@ from .oi import _BLOCK, _candidates, _device_fields, _origin
 __all__ = ["local_distribution_correction"]
 
 
+def _ldc_native(bpoints, points, structure, flat_bg, cand, mask, pobs,
+                pbackground, min_quantile, max_quantile, min_points):
+    """Threaded C++ curve-build path (csrc ldc_host), or None.
+
+    rho comes from the same host evaluators the canonical shortlist uses
+    (native pair kernel for product-kernel structures, numpy otherwise),
+    so the native and jitted paths see identical correlations.
+    """
+    from .. import native
+    if native.get_lib() is None:
+        return None
+    from ..ops.canonical import _host_fields, _native_eval, _np_rho
+    n = bpoints.size()
+    origin = _origin(bpoints)
+    gfx = _host_fields(bpoints, structure, origin, n)
+    ofx = _host_fields(points, structure, origin, points.size())
+    rho = None
+    kt = _native_eval(structure)
+    if kt is not None:
+        rho = native.pair_rho_host(gfx, ofx, cand, mask, kt)
+    if rho is None:
+        rho = _np_rho(structure, gfx, ofx, np.arange(n), cand, mask)
+    return native.ldc_host(flat_bg, cand, mask, rho, pobs, pbackground,
+                           min_quantile, max_quantile, min_points)
+
+
 def local_distribution_correction(bgrid: Grid, background, points, pobs,
                                   pbackground, structure, min_quantile,
                                   max_quantile, min_points=0):
@@ -41,6 +67,11 @@ def local_distribution_correction(bgrid: Grid, background, points, pobs,
     if res is None:
         return background.copy()
     cand, mask = res
+    out = _ldc_native(bpoints, points, structure, flat_bg, cand, mask,
+                      pobs, pbackground, min_quantile, max_quantile,
+                      min_points)
+    if out is not None:
+        return out.reshape(gy, gx)
     origin = _origin(bpoints)
     p1_all = _device_fields(bpoints, structure, origin)
     o_fields = _device_fields(points, structure, origin)

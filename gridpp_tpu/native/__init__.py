@@ -111,6 +111,9 @@ def get_lib():
         lib.oi_utem_host_solve.argtypes = (
             [c_p] * 9 + [c_i64] + [c_p] * 15 + [c_p, c_p, c_i64]
             + [c_i32, c_i32, c_i32, c_i32] + [c_f64] + [c_p] * 4)
+        lib.ldc_host.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_i64,
+                                 c_p, c_p, c_i64, c_i64, c_f32, c_f32,
+                                 c_i32, c_p]
         _lib = lib
         return _lib
 
@@ -406,6 +409,33 @@ def pair_rho_host(gfx, ofx, cand, mask, kernel_type):
         *[_ptr(a) for a in oarrs],
         _ptr(cand), _ptr(mask), kpad, int(kernel_type), _ptr(rho))
     return rho
+
+
+def ldc_host(background, cand, mask, rho, pobs, pbackground, min_quantile,
+             max_quantile, min_points):
+    """Threaded local_distribution_correction (csrc ldc_host).
+
+    background: (N,) flattened; cand/mask/rho: (N, K); pobs/pbackground:
+    (T, S) per-obs time series. Returns (N,) f32 or None when the native
+    engine is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    bg = _f32c(background)
+    n = bg.shape[0]
+    cand = np.ascontiguousarray(cand, np.int32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    rho = _f32c(rho)
+    obs = _f32c(pobs)
+    fcst = _f32c(pbackground)
+    t, s_obs = obs.shape
+    out = np.empty(n, np.float32)
+    lib.ldc_host(_ptr(bg), n, _ptr(cand), _ptr(mask), _ptr(rho),
+                 cand.shape[1], _ptr(obs), _ptr(fcst), t, s_obs,
+                 float(min_quantile), float(max_quantile),
+                 int(min_points), _ptr(out))
+    return out
 
 
 def oi_host_solve(gfx, ofx, obs, oyb, oratio, cand, mask, kernel_type,

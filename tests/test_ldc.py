@@ -127,6 +127,34 @@ class TestLDC:
         assert np.isfinite(out).all()
         assert out.shape == background.shape
 
+    def test_native_matches_jitted_path(self, monkeypatch):
+        """The threaded C++ curve-build (csrc ldc_host) and the jitted
+        fallback (ops/ldc.ldc_block) agree on a random dense problem."""
+        from gridpp_tpu.api import ldc as ldc_mod
+        rng = np.random.default_rng(7)
+        n = 12
+        y, x = np.meshgrid(np.arange(n) * 800.0, np.arange(n) * 800.0,
+                           indexing="ij")
+        grid = gridpp.Grid(y, x, 0 * y, 0 * y, gridpp.Cartesian)
+        background = (rng.gamma(1.5, 2.0, (n, n))).astype(np.float32)
+        num = 40
+        points = gridpp.Points(rng.uniform(0, n * 800.0, num),
+                               rng.uniform(0, n * 800.0, num),
+                               np.zeros(num), np.zeros(num),
+                               gridpp.Cartesian)
+        pobs = rng.gamma(1.5, 2.0, (2, num)).astype(np.float32)
+        pbg = rng.gamma(1.5, 2.0, (2, num)).astype(np.float32)
+        pobs[0, 3] = np.nan  # screened pair
+        structure = gridpp.BarnesStructure(4000.0)
+        args = (grid, background, points, pobs, pbg, structure, 0.1,
+                0.9, 2)
+        native_out = gridpp.local_distribution_correction(*args)
+        monkeypatch.setattr(ldc_mod, "_ldc_native",
+                            lambda *a, **k: None)
+        jax_out = gridpp.local_distribution_correction(*args)
+        np.testing.assert_allclose(native_out, jax_out, rtol=2e-5,
+                                   atol=2e-5)
+
     def test_size_mismatch(self):
         grid, background, points = make_setup()
         structure = gridpp.BarnesStructure(5000.0)

@@ -78,6 +78,24 @@ class TestGridding:
                                          2, gridpp.Mean)
         assert np.isnan(output).all()
 
+    def test_gridding_nearest_order_stat_trailing_empty_cells(self):
+        """Order statistics with unoccupied trailing cells: empty
+        segments at the end of the scatter used to index past the value
+        array (regression)."""
+        y, x = np.meshgrid(np.arange(4) * 1000.0, np.arange(4) * 1000.0,
+                           indexing="ij")
+        grid = gridpp.Grid(y, x, type=gridpp.Cartesian)
+        # all points land in cell (0, 0); every other cell (incl. the
+        # last) is empty
+        points = gridpp.Points([0.0, 10.0, 20.0], [0.0, 10.0, 20.0],
+                               type=gridpp.Cartesian)
+        vals = np.array([3.0, 1.0, 2.0], np.float32)
+        for stat, expected in ((gridpp.Max, 3.0), (gridpp.Min, 1.0),
+                               (gridpp.Median, 2.0)):
+            out = gridpp.gridding_nearest(grid, points, vals, 1, stat)
+            assert out[0, 0] == expected
+            assert np.isnan(out.flatten()[1:]).all()
+
 
 class TestCountDistance:
     def test_count(self):
