@@ -40,6 +40,7 @@ from .halo import halo_exchange_2d
 __all__ = [
     "initialize", "is_distributed", "global_mesh", "global_field",
     "replicate", "make_distributed_step", "gather_to_host",
+    "local_block_slices",
 ]
 
 
@@ -80,23 +81,56 @@ def is_distributed() -> bool:
     return jax.process_count() > 1
 
 
-def global_mesh(axis_names=("y", "x")) -> Mesh:
+def global_mesh(axis_names=("y", "x"), host_shape=None) -> Mesh:
     """('y', 'x') mesh over all devices of the job.
 
-    The 'y' axis enumerates hosts (DCN hops at tile boundaries only);
-    each host's local devices line up along 'x' (ICI). Single-host jobs
+    host_shape=(hy, hx) lays the hosts out as a 2-D host grid in
+    process-major order: host p sits at row p // hx, column p % hx, and
+    its local devices line up along 'x' inside that column block. The
+    default (hy, hx) = (n_hosts, 1) splits only 'y' between hosts —
+    halo traffic between a host's own tiles rides ICI and only
+    host-boundary strips cross DCN; a 2-D host grid additionally
+    exercises corner halo exchange and both-axis host boundaries (the
+    layout production pods use for squarish domains). Single-host jobs
     fall back to the squarest local mesh.
     """
     devices = jax.devices()
     n_hosts = jax.process_count()
     if n_hosts > 1:
         per_host = len(devices) // n_hosts
-        arr = np.empty((n_hosts, per_host), dtype=object)
+        if host_shape is None:
+            host_shape = (n_hosts, 1)
+        hy, hx = int(host_shape[0]), int(host_shape[1])
+        if hy * hx != n_hosts:
+            raise ValueError(
+                f"host_shape {host_shape} does not cover {n_hosts} hosts")
+        arr = np.empty((hy, hx * per_host), dtype=object)
         for d in devices:
-            arr[d.process_index, _local_rank(d, devices)] = d
+            r, c = divmod(d.process_index, hx)
+            arr[r, c * per_host + _local_rank(d, devices)] = d
         return Mesh(arr, axis_names)
     from .mesh import make_mesh
     return make_mesh(axis_names=axis_names)
+
+
+def local_block_slices(global_shape, host_shape=None):
+    """(y_slice, x_slice) of this process's contiguous block of a
+    (Y, X) field laid out on a global_mesh(host_shape=...) mesh.
+
+    Blocks concatenate in host-grid row-major order, matching
+    global_field's process-local assembly."""
+    n_hosts = jax.process_count()
+    if host_shape is None:
+        host_shape = (n_hosts, 1)
+    hy, hx = int(host_shape[0]), int(host_shape[1])
+    gy, gx = global_shape
+    if gy % hy or gx % hx:
+        raise ValueError(
+            f"global shape {global_shape} must divide host grid "
+            f"{(hy, hx)}")
+    r, c = divmod(jax.process_index(), hx)
+    by, bx = gy // hy, gx // hx
+    return slice(r * by, (r + 1) * by), slice(c * bx, (c + 1) * bx)
 
 
 def _local_rank(dev, devices) -> int:

@@ -100,4 +100,27 @@ class TestTwoHostFederation:
         assert proc.returncode == 0, proc.stderr[-2000:]
         report = json.loads(proc.stdout.strip().splitlines()[-1])
         assert report["parity_ok"]
+        assert report["bit_parity"]
         assert report["hosts"] == 2
+
+    def test_scaling_harness_2x2_host_grid(self, tmp_path):
+        """4 processes on a 2x2 host grid: both-axis host boundaries and
+        corner halo exchange between simulated hosts, with parity against
+        the single-process result (VERDICT r4 next-round #7)."""
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith(("JAX_", "XLA_", "GRIDPP_"))}
+        env["PATH"] = os.environ.get("PATH", "")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools",
+                                          "scaling_multihost.py"),
+             "--hosts", "4", "--host-grid", "2x2", "--n", "128",
+             "--obs", "400", "--port", "53161",
+             "--out", str(tmp_path / "scaling.json")],
+            capture_output=True, text=True, timeout=420, cwd=ROOT,
+            env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        report = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert report["parity_ok"]
+        assert report["bit_parity"]
+        assert report["hosts"] == 4
+        assert report["host_grid"] == "2x2"

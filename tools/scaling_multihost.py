@@ -32,6 +32,8 @@ def worker():
     n = int(os.environ["GRIDPP_SCALE_N"])
     n_obs = int(os.environ["GRIDPP_SCALE_OBS"])
     out_path = os.environ["GRIDPP_SCALE_OUT"]
+    hg = os.environ.get("GRIDPP_SCALE_HOSTGRID", "")
+    host_shape = tuple(int(v) for v in hg.split("x")) if hg else None
 
     # Pin this "host" to its own physical core so N simulated hosts do not
     # share compute (otherwise strong scaling is meaningless)
@@ -46,7 +48,7 @@ def worker():
 
     if nproc > 1:
         dist.initialize()
-    mesh = dist.global_mesh()
+    mesh = dist.global_mesh(host_shape=host_shape)
 
     import gridpp_tpu as gridpp
     from gridpp_tpu.api.oi import _origin, _resolved_fields
@@ -73,16 +75,15 @@ def worker():
     opts_fields = {k: np.asarray(v, np.float32)
                    for k, v in opts_fields.items()}
 
-    # This host's contiguous y-block of the grid (mesh rows == hosts)
+    # This host's contiguous block of the grid (y-split by default;
+    # a 2-D host grid splits both axes, exercising corner halos and
+    # both-axis host boundaries)
     py, px = mesh.devices.shape
     assert n % py == 0 and n % px == 0, "grid must divide the mesh"
-    n_hosts = jax.process_count()
-    rows_per_host = n // n_hosts
-    local = slice(jax.process_index() * rows_per_host,
-                  (jax.process_index() + 1) * rows_per_host)
+    ly, lx = dist.local_block_slices((n, n), host_shape)
 
-    g_bg = dist.global_field(background[local], mesh)
-    g_p1 = {k: dist.global_field(v[local], mesh) for k, v in p1.items()}
+    g_bg = dist.global_field(background[ly, lx], mesh)
+    g_p1 = {k: dist.global_field(v[ly, lx], mesh) for k, v in p1.items()}
     r_obsf = {k: dist.replicate(v, mesh) for k, v in opts_fields.items()}
     r_pobs = dist.replicate(pobs, mesh)
     r_pbg = dist.replicate(pback, mesh)
@@ -103,14 +104,19 @@ def worker():
 
     result = dist.gather_to_host(out)
     if jax.process_index() == 0:
+        import hashlib
+        digest = hashlib.sha256(
+            np.ascontiguousarray(result).tobytes()).hexdigest()
         with open(out_path, "w") as f:
             json.dump({"time_s": dt, "checksum": float(np.nansum(result)),
+                       "digest": digest,
                        "shape": list(result.shape),
                        "n_devices": len(jax.devices()),
                        "n_hosts": jax.process_count()}, f)
 
 
-def launch(hosts: int, n: int, n_obs: int, port: int, timeout: int = 600):
+def launch(hosts: int, n: int, n_obs: int, port: int, timeout: int = 600,
+           host_grid: str = ""):
     """Spawn `hosts` worker processes; return process-0's result dict."""
     with tempfile.TemporaryDirectory() as td:
         out_path = os.path.join(td, "result.json")
@@ -119,6 +125,7 @@ def launch(hosts: int, n: int, n_obs: int, port: int, timeout: int = 600):
             "GRIDPP_SCALE_N": str(n),
             "GRIDPP_SCALE_OBS": str(n_obs),
             "GRIDPP_SCALE_OUT": out_path,
+            "GRIDPP_SCALE_HOSTGRID": host_grid,
             "GRIDPP_NUM_PROCESSES": str(hosts),
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
@@ -146,6 +153,9 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--obs", type=int, default=2000)
     ap.add_argument("--port", type=int, default=52525)
+    ap.add_argument("--host-grid", default="", dest="host_grid",
+                    help="2-D host layout HYxHX (e.g. 2x2); default "
+                         "splits only the y axis between hosts")
     ap.add_argument("--timeout", type=int, default=600,
                     help="per-launch worker wall-clock limit in seconds "
                          "(raise for north-star-scale grids)")
@@ -161,21 +171,24 @@ def main():
 
     single = launch(1, args.n, args.obs, args.port, args.timeout)
     multi = launch(args.hosts, args.n, args.obs, args.port + 1,
-                   args.timeout)
+                   args.timeout, args.host_grid)
     speedup = single["time_s"] / multi["time_s"]
     efficiency = speedup / args.hosts
     parity = abs(single["checksum"] - multi["checksum"]) <= \
         1e-5 * max(abs(single["checksum"]), 1.0)
+    bit_parity = single.get("digest") == multi.get("digest")
     report = {
         "metric": "multihost_strong_scaling_efficiency",
         "grid": f"{args.n}x{args.n}",
         "obs": args.obs,
         "hosts": args.hosts,
+        "host_grid": args.host_grid or f"{args.hosts}x1",
         "t_1host_s": round(single["time_s"], 4),
         f"t_{args.hosts}host_s": round(multi["time_s"], 4),
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
         "parity_ok": bool(parity),
+        "bit_parity": bool(bit_parity),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
