@@ -463,15 +463,15 @@ def neighbourhood_minmax(x: jax.Array, halfwidth: int, statistic: int,
 
 
 def _qf_kernel(thr_smem, q_smem, x_hbm, xtail_hbm, out_ref, scratch,
-               cnt, lr, xy, cdf, sem, *, h, by, rows, xpad, outw, t, ny,
-               nx, padded, nblk):
+               ps_ref, sem, *, h, by, rows, xpad, outw, t, ny, nx,
+               padded, nblk):
     import jax.experimental.pallas as pl
 
     q = q_smem[0]
     i = pl.program_id(0)
     vals, ok = _load_block(x_hbm, xtail_hbm, scratch, sem, i, h=h, by=by,
                            rows=rows, ny=ny, nx=nx, padded=padded,
-                           nblk=nblk, db=False)
+                           nblk=nblk, db=True)
     length = 2 * h + 1
     m = jnp.isfinite(vals)
     has_bad = jnp.any(~m & ok)
@@ -480,83 +480,113 @@ def _qf_kernel(thr_smem, q_smem, x_hbm, xtail_hbm, out_ref, scratch,
         lambda: _slide_sum(_slide_sum(m.astype(jnp.float32), length, 0,
                                       by), length, 1, outw),
         lambda: _analytic_counts(i, h, by, outw, ny, nx))
-    cnt[:] = c
     cden = jnp.maximum(c, 1.0)
 
-    # Per-threshold CDF planes: window-means of the <=threshold
-    # indicators (neighbourhood.cpp:339-358), sharing the single count
-    # pass above. The indicators are BIT-PACKED into int32 fields before
-    # the slide passes: window counts fit 8 bits when (2h+1)^2 <= 255
-    # (16 bits up to h=127), so 4 (or 2) threshold planes ride one
-    # register and the slide work drops by the same factor. The unpacked
-    # sums are exact small integers in f32, so s / max(c, 1) matches the
-    # XLA mean stencil bit-for-bit - required because the inverse-CDF
-    # branches on cdf-vs-q comparisons.
+    # Integer-domain inverse CDF. cdf_k = f32(s_k / c) where s_k (the
+    # <=threshold window count) and c are exact small integers, and
+    # s -> f32(s / c) is strictly increasing over the attainable range,
+    # so every cdf-vs-q comparison (neighbourhood.cpp:367-404) reduces
+    # to an INTEGER compare of s_k against the per-cell boundary
+    #   sb = min{ s : f32(s / c) >= q },
+    # computed once per cell from ceil(q * c) with a +/-1 correction
+    # for the f32 rounding of the product and the division (a single
+    # step each way provably suffices: consecutive ratios are >= 1/c
+    # apart, far beyond f32 ulp at q <= 1). This removes the
+    # per-threshold division and the T CDF planes of the previous
+    # version while staying bit-identical to the XLA reference path.
+    sb = jnp.ceil(q * cden)
+    sb = jnp.where((sb - 1.0) / cden >= q, sb - 1.0, sb)
+    sb = jnp.where(sb / cden < q, sb + 1.0, sb)
+    exact_cell = sb / cden == q
+    sb_i = sb.astype(jnp.int32)
+
+    # Per-threshold window counts: the <=threshold indicators are
+    # BIT-PACKED into int32 fields before the slide passes: counts fit
+    # 8 bits when (2h+1)^2 <= 255 (16 bits up to h=127), so 4 (or 2)
+    # threshold planes ride one register and the slide work drops by
+    # the same factor. The packed slide results park in ps_ref for the
+    # bracket-selection pass below. NaN cells compare False against
+    # every threshold, so no explicit valid mask is needed.
     win = length * length
     density = 4 if win <= 255 else (2 if win <= 65535 else 1)
     bits = 32 // density
     fmask = (1 << bits) - 1
-    for k0 in range(0, t, density):
-        ks = list(range(k0, min(k0 + density, t)))
+    groups = [list(range(k0, min(k0 + density, t)))
+              for k0 in range(0, t, density)]
+
+    def extract(ps, idx):
+        if density == 1:
+            return ps
+        return (ps >> (bits * idx)) & fmask if idx else ps & fmask
+
+    zi = jnp.zeros((by, outw), jnp.int32)
+    left = zi
+    n_eq = zi
+    for g, ks in enumerate(groups):
         p = None
         for idx, k in enumerate(ks):
-            ind = (m & (vals <= thr_smem[k])).astype(jnp.int32)
+            ind = (vals <= thr_smem[k]).astype(jnp.int32)
             ind = ind << (bits * idx) if idx else ind
             p = ind if p is None else p + ind
         ps = _slide_sum(_slide_sum(p, length, 0, by), length, 1, outw)
+        ps_ref[g] = ps
         for idx, k in enumerate(ks):
-            s = ((ps >> (bits * idx)) & fmask).astype(jnp.float32)
-            cdf[k] = jnp.clip(s / cden, 0.0, 1.0)
+            s = extract(ps, idx)
+            left = left + (s < sb_i).astype(jnp.int32)
+            n_eq = n_eq + (s == sb_i).astype(jnp.int32)
 
-    # Piecewise-linear inverse CDF across the T planes, in-register
-    # (neighbourhood.cpp:367-404 + util.cpp:377-432 flat-interval rules).
-    # The per-threshold accumulators go through scratch refs (lr, xy):
-    # T-long value chains would pile up on the Mosaic VMEM stack.
-    zero = jnp.zeros((by, outw), jnp.float32)
-    lr[0] = zero
-    lr[1] = zero
-    for k in range(t):
-        lr[0] = lr[0] + (cdf[k] < q).astype(jnp.float32)
-        lr[1] = lr[1] + (cdf[k] <= q).astype(jnp.float32)
-    left = lr[0]
-    right = lr[1]
+    # Bracket indices (util.cpp:377-432 flat-interval rules). cdf_k == q
+    # can only happen at s_k == sb when f32(sb / c) == q exactly.
+    right = left + jnp.where(exact_cell, n_eq, zi)
     has_exact = right > left
-    i0 = jnp.where(has_exact, left, left - 1.0)
-    i1 = jnp.where(has_exact, right - 1.0, right)
-    i0c = jnp.clip(i0, 0.0, t - 1.0)
-    i1c = jnp.clip(i1, 0.0, t - 1.0)
-    xy[0] = zero
-    xy[1] = zero
-    xy[2] = zero
-    xy[3] = zero
-    for k in range(t):
-        k_f = float(k)
-        thr = thr_smem[k]
-        sel0 = i0c == k_f
-        sel1 = i1c == k_f
-        xy[0] = jnp.where(sel0, cdf[k], xy[0])
-        xy[1] = jnp.where(sel1, cdf[k], xy[1])
-        xy[2] = jnp.where(sel0, thr, xy[2])
-        xy[3] = jnp.where(sel1, thr, xy[3])
-    x0 = xy[0]
-    x1 = xy[1]
-    y0 = xy[2]
-    y1 = xy[3]
+    i0 = jnp.where(has_exact, left, left - 1)
+    i1 = jnp.where(has_exact, right - 1, right)
+    i0c = jnp.clip(i0, 0, t - 1)
+    i1c = jnp.clip(i1, 0, t - 1)
+
+    # Selection pass: re-extract the parked counts, pick the bracket
+    # planes' (s, threshold) pairs; only those two get divided.
+    zero = jnp.zeros((by, outw), jnp.float32)
+    s0 = zi
+    s1 = zi
+    y0 = zero
+    y1 = zero
+    s_first = zi
+    s_last = zi
+    for g, ks in enumerate(groups):
+        ps = ps_ref[g]
+        for idx, k in enumerate(ks):
+            s = extract(ps, idx)
+            sel0 = i0c == k
+            sel1 = i1c == k
+            s0 = jnp.where(sel0, s, s0)
+            s1 = jnp.where(sel1, s, s1)
+            y0 = jnp.where(sel0, thr_smem[k], y0)
+            y1 = jnp.where(sel1, thr_smem[k], y1)
+            if k == 0:
+                s_first = s
+            if k == t - 1:
+                s_last = s
+    x0 = s0.astype(jnp.float32) / cden
+    x1 = s1.astype(jnp.float32) / cden
+    cdf0 = s_first.astype(jnp.float32) / cden
+    cdf_t = s_last.astype(jnp.float32) / cden
+
     flat = x0 == x1
-    both_edge = (i0 == 0.0) & (i1 == t - 1.0)
+    both_edge = (i0 == 0) & (i1 == t - 1)
     y_flat = jnp.where(both_edge, (y0 + y1) * 0.5,
-                       jnp.where(i0 == 0.0, y1,
-                                 jnp.where(i1 == t - 1.0, y0,
+                       jnp.where(i0 == 0, y1,
+                                 jnp.where(i1 == t - 1, y0,
                                            (y0 + y1) * 0.5)))
     dx = jnp.where(flat, 1.0, x1 - x0)
     y_lin = y0 + (y1 - y0) * (q - x0) / dx
     y = jnp.where(flat, y_flat, y_lin)
-    y = jnp.where(q > cdf[t - 1], thr_smem[t - 1], y)
-    y = jnp.where(q < cdf[0], thr_smem[0], y)
+    y = jnp.where(q > cdf_t, thr_smem[t - 1], y)
+    y = jnp.where(q < cdf0, thr_smem[0], y)
     # Exact-edge special cases (neighbourhood.cpp:396-401)
-    y = jnp.where((q == 1.0) & (cdf[0] == 1.0), thr_smem[0], y)
-    y = jnp.where((q == 0.0) & (cdf[t - 1] == 0.0), thr_smem[t - 1], y)
-    out_ref[:] = jnp.where(cnt[:] > 0, y, jnp.nan)
+    y = jnp.where((q == 1.0) & (cdf0 == 1.0), thr_smem[0], y)
+    y = jnp.where((q == 0.0) & (cdf_t == 0.0), thr_smem[t - 1], y)
+    out_ref[:] = jnp.where(c > 0, y, jnp.nan)
 
 
 @functools.partial(jax.jit,
@@ -578,11 +608,15 @@ def neighbourhood_quantile_fast(x: jax.Array, quantile,
     h = int(halfwidth)
     t = int(thresholds.shape[0])
     ny, nx = x.shape
-    # the T CDF planes live in VMEM (plus Mosaic's value stack for the
-    # unrolled T loop): keep the row block small
-    by = 16 if t > 24 else 32
+    # only ceil(t / density) packed planes park in VMEM (the T CDF
+    # planes of the old two-pass form are gone), so the block height no
+    # longer shrinks with T
+    by = 32
     by, outw, xpad, rows = _shapes(ny, nx, h, by=by)
     xin, xtail, nyb, padded = _prep_input(x, h, by, rows, xpad, ny, nx)
+    win = (2 * h + 1) ** 2
+    density = 4 if win <= 255 else (2 if win <= 65535 else 1)
+    ngroups = -(-t // density)
     kernel = functools.partial(_qf_kernel, h=h, by=by, rows=rows,
                                xpad=xpad, outw=outw, t=t, ny=ny, nx=nx,
                                padded=padded, nblk=nyb)
@@ -596,15 +630,9 @@ def neighbourhood_quantile_fast(x: jax.Array, quantile,
         out_specs=pl.BlockSpec((by, outw), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
         scratch_shapes=[
-            # single-buffer (db=False in the kernel): the long per-block
-            # compute hides the DMA; a second slot would be dead VMEM in
-            # the most VMEM-pressured kernel
-            pltpu.VMEM((1, rows, xpad), jnp.float32),
-            pltpu.VMEM((by, outw), jnp.float32),
-            pltpu.VMEM((2, by, outw), jnp.float32),
-            pltpu.VMEM((4, by, outw), jnp.float32),
-            pltpu.VMEM((t, by, outw), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, rows, xpad), jnp.float32),  # double buffer
+            pltpu.VMEM((ngroups, by, outw), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(jnp.asarray(thresholds, jnp.float32),

@@ -67,6 +67,24 @@ def test_quantile_fast_matches_xla(q, shape, h, t):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("q", [float(np.float32(1.0 / 3.0)), 0.5, 0.25,
+                               float(np.float32(2.0 / 9.0))])
+def test_quantile_fast_exact_cdf_ties(q):
+    """q landing EXACTLY on attainable cdf values (s/c ratios): the
+    integer-domain boundary search must reproduce the XLA path's
+    f32 cdf-vs-q comparisons bit for bit, or the inverse CDF picks a
+    different bracket and jumps a whole threshold."""
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 5, (30, 40)).astype(np.float32)
+    x[4, 7] = np.nan  # odd window counts around the hole
+    thresholds = np.arange(5, dtype=np.float32)
+    out = np.asarray(ps.neighbourhood_quantile_fast(
+        jnp.asarray(x), q, 1, jnp.asarray(thresholds), interpret=True))
+    ref = np.asarray(nops.neighbourhood_quantile_fast(
+        jnp.asarray(x), q, 1, jnp.asarray(thresholds)))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_quantile_fast_all_nan_region():
     x = _field((40, 50), seed=3)
     x[10:20, 10:30] = np.nan
