@@ -23,9 +23,16 @@ weak #2/#3). A production TPU host's PCIe moves the same field in ~2 ms.
 Prints ONE JSON line.
 """
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _stage(msg):
+    """Progress to stderr (stdout stays the one-JSON-line contract)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _min_time(fn, reps):
@@ -64,12 +71,14 @@ def main():
     cycles = 10
     xfer_reps = 6
 
+    _stage("uploading device-resident inputs")
     # Device-resident inputs: distinct per cycle so nothing short-circuits
     bgs = [jax.block_until_ready(jnp.asarray(background + np.float32(i)))
            for i in range(cycles)]
     obs = [jax.block_until_ready(jnp.asarray(pobs + np.float32(i)))
            for i in range(cycles)]
 
+    _stage("building Pipeline (shortlist + tile tables)")
     pipe = gridpp.Pipeline(grid, points, structure, halfwidth=7,
                            statistic=gridpp.Mean, max_points=10,
                            ratios=ratios)
@@ -78,16 +87,22 @@ def main():
 
     def bench_path(key, run_one, out_bytes_hint=None):
         """Compute-only cycle time + separate D2H cost of one output."""
+        _stage(f"{key}: compile+warm")
         out = jax.block_until_ready(run_one(0))  # compile + warm
+        _stage(f"{key}: cycles")
         t0 = time.perf_counter()
         outs = [run_one(i) for i in range(cycles)]
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / cycles
         # D2H: each cycle's output is a distinct buffer; np.asarray of an
-        # already-fetched buffer is cached, so fetch each once
-        d2h = _min_time(lambda it=iter(outs): np.asarray(next(it)),
-                           min(xfer_reps, cycles))
+        # already-fetched buffer is cached, so fetch each once. Large
+        # (ensemble) outputs get fewer reps: a 160 MB download costs
+        # 20-180 s on a bad tunnel day, and min-of-6 of those alone
+        # pushed the whole bench past the driver budget.
         nbytes = int(np.asarray(out).nbytes)
+        _stage(f"{key}: d2h")
+        reps = 2 if nbytes > 100e6 else min(xfer_reps, cycles)
+        d2h = _min_time(lambda it=iter(outs): np.asarray(next(it)), reps)
         assert np.isfinite(np.asarray(outs[-1])).all()
         results[key] = {
             "compute_s": round(dt, 4),
@@ -97,6 +112,24 @@ def main():
         }
         return dt, d2h
 
+    # Device health: achieved bandwidth of XLA's own fused a+1 on 64 MB
+    # (best of 3 x 8 chained). This shared tunneled device throttles up
+    # to ~30x between sessions; the field lets any run's compute numbers
+    # be read against what the chip was actually delivering at the time.
+    _stage("device bandwidth calibration")
+    xcal = jax.block_until_ready(jnp.ones((4096, 4096), jnp.float32))
+    fcal = jax.jit(lambda a: a + 1.0)
+    jax.block_until_ready(fcal(xcal))
+    bw = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cur = xcal
+        for _ in range(8):
+            cur = fcal(cur)
+        jax.block_until_ready(cur)
+        bw = max(bw, 2 * xcal.nbytes * 8 / (time.perf_counter() - t0) / 1e9)
+
+    _stage("h2d measurements")
     # H2D: per-cycle upload costs (best-of-reps). Deterministic paths upload
     # one (Y, X) background per cycle; ensemble paths upload the (Y, X, E)
     # member fields.
@@ -148,23 +181,44 @@ def main():
     bench_path("ensi_multi_utem", lambda i: upipe.run_device(
         bg_ens, obs[i], prat_d, background_corr=bg_ens)[0])
 
-    # --- overlapped streaming serving (serve_stream: D2H of cycle N
-    # overlaps upload+compute of N+1). Host-side inputs per cycle, so
-    # this measures true end-to-end serving throughput.
-    def stream_rate(pipe_obj, make_cycle, n_cycles):
+    # --- streaming serving: serve_stream (D2H of cycle N dispatched
+    # after cycle N+1's upload+compute) vs an explicit serial
+    # upload->compute->download loop, measured BACK TO BACK on the same
+    # host cycles so both see the same link conditions. On this axon
+    # tunnel H2D and D2H serialize (put+get back-to-back costs the
+    # sum), so only the compute can hide and the ceiling on the overlap
+    # gain is (upload+compute+download)/(upload+max(compute, 0)+download)
+    # — a few percent when compute << transfers, inside the tunnel's
+    # run-to-run variance. On a PCIe host (where the two directions are
+    # independent and ~100x faster) the same code makes serving ~=
+    # compute throughput; both numbers are reported so the comparison
+    # is honest rather than derived from best-of-reps transfer costs.
+    def stream_rates(key, pipe_obj, run_serial, make_cycle, n_cycles):
         cyc = [make_cycle(i) for i in range(n_cycles)]
         next(iter(pipe_obj.serve_stream([cyc[0]])))  # warm/compile
+        _stage(f"{key}: serial serving loop")
+        t0 = time.perf_counter()
+        for args in cyc:
+            np.asarray(run_serial(
+                *[jnp.asarray(np.asarray(a, np.float32)) for a in args]))
+        serial_dt = (time.perf_counter() - t0) / n_cycles
+        _stage(f"{key}: overlapped serve_stream")
         t0 = time.perf_counter()
         for _ in pipe_obj.serve_stream(cyc):
             pass
         dt = (time.perf_counter() - t0) / n_cycles
-        return round(n * n / dt, 1)
+        r = results[key]
+        r["serving_serial_pts_per_s"] = round(n * n / serial_dt, 1)
+        r["serving_overlapped_pts_per_s"] = round(n * n / dt, 1)
 
-    results["fast"]["serving_overlapped_pts_per_s"] = stream_rate(
-        pipe, lambda i: (background + np.float32(i), pobs), 6)
-    results["ensi"]["serving_overlapped_pts_per_s"] = stream_rate(
-        epipe, lambda i: (ens_np + np.float32(i), pobs,
-                          np.full(p, 1.5, np.float32)), 4)
+    stream_rates("fast", pipe,
+                 lambda bg, po: pipe.run_device(bg, po, assume_valid=True),
+                 lambda i: (background + np.float32(i), pobs), 6)
+    stream_rates("ensi", epipe,
+                 lambda bg, po, ps: epipe.run_device(
+                     bg, po, ps, assume_valid=True)[0],
+                 lambda i: (ens_np + np.float32(i), pobs,
+                            np.full(p, 1.5, np.float32)), 3)
 
     baseline = 12_490.0  # reference combined gridpoints/s (see docstring)
     pts = n * n
@@ -186,6 +240,7 @@ def main():
         "unit": "gridpoints/s",
         "vs_baseline": round(value / baseline, 2),
         "headline_note": "device-resident compute, general path",
+        "device_bw_gbytes_s": round(bw, 1),
         "h2d_16mb_s": round(h2d, 4),
         "h2d_160mb_s": round(h2d_ens, 4),
         "link_mb_per_s": round(16.0 / max(h2d, 1e-9), 1),
@@ -198,9 +253,10 @@ def main():
         out[f"{key}_serving_pts_per_s"] = serving(key)
         out[f"{key}_d2h_s"] = r["d2h_s"]
         out[f"{key}_out_mb"] = r["out_mb"]
-        if "serving_overlapped_pts_per_s" in r:
-            out[f"{key}_serving_overlapped_pts_per_s"] = \
-                r["serving_overlapped_pts_per_s"]
+        for f in ("serving_serial_pts_per_s",
+                  "serving_overlapped_pts_per_s"):
+            if f in r:
+                out[f"{key}_{f}"] = r[f]
     print(json.dumps(out))
 
 
