@@ -283,6 +283,81 @@ def test_ensi_pipeline_smoothing():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
 
 
+def test_guarded_general_cache_invalidation():
+    """The guarded general path caches solved weights device-side and
+    refreshes them only when a device guard sees the obs validity or
+    ratios change. Every cycle kind must equal the full re-solve
+    (path="resolve") bit for bit: first cycle (cold cache), same
+    validity + new obs values (cache hit: cached weights, new
+    innovations), obs knocked out mid-stream (validity change ->
+    rebuild), obs restored + new ratios (ratio change -> rebuild)."""
+    import jax.numpy as jnp
+    grid, pts, background, pback, pobs, ratios, structure = _problem(
+        7, nan_obs=0.0)
+    pipe = gridpp.Pipeline(grid, pts, structure, halfwidth=3,
+                           statistic=gridpp.Mean, max_points=8,
+                           tiled=True)
+    bg = jnp.asarray(background)
+
+    def check(pobs_c, ratios_c):
+        got = np.asarray(pipe.run_device(bg, jnp.asarray(pobs_c),
+                                         ratios_c, path="general"))
+        want = np.asarray(pipe.run_device(bg, jnp.asarray(pobs_c),
+                                          ratios_c, path="resolve"))
+        np.testing.assert_array_equal(got, want)
+
+    check(pobs, ratios)                      # cold cache
+    check(pobs + 1.0, ratios)                # cache hit, new innovations
+    pobs_gap = pobs.copy()
+    pobs_gap[::3] = np.nan                   # validity change -> rebuild
+    check(pobs_gap, ratios)
+    check(pobs_gap - 0.5, ratios)            # cache hit on gapped network
+    check(pobs, np.full_like(ratios, 0.05))  # ratios change -> rebuild
+    check(pobs, ratios)                      # back to original ratios
+
+
+def test_serve_stream_matches_per_cycle_calls():
+    """serve_stream yields one analysis per cycle, in order, equal to
+    the per-cycle __call__ results — for Pipeline, EnsiPipeline and
+    MultiEnsiPipeline (the overlap must never reorder or cross-wire
+    cycles)."""
+    rng = np.random.default_rng(3)
+    grid, pts, background, pback, pobs, ratios, structure = _problem(
+        3, nan_obs=0.0)
+    n_obs = pts.size()
+    n_cyc, e = 4, 3
+
+    pipe = gridpp.Pipeline(grid, pts, structure, halfwidth=2,
+                           max_points=6, ratios=ratios)
+    cycles = [(background + np.float32(i), pobs + np.float32(i))
+              for i in range(n_cyc)]
+    streamed = list(pipe.serve_stream(cycles))
+    assert len(streamed) == n_cyc
+    for got, args in zip(streamed, cycles):
+        np.testing.assert_array_equal(got, pipe(*args))
+
+    epipe = gridpp.EnsiPipeline(grid, pts, structure, max_points=6)
+    bg3 = (np.repeat(background[:, :, None], e, axis=2)
+           + rng.normal(0, 1, background.shape + (e,))).astype(np.float32)
+    psig = np.full(n_obs, 1.5, np.float32)
+    ecycles = [(bg3 + np.float32(i), pobs, psig) for i in range(n_cyc)]
+    streamed = list(epipe.serve_stream(ecycles))
+    assert len(streamed) == n_cyc
+    for got, args in zip(streamed, ecycles):
+        np.testing.assert_array_equal(got, epipe(*args))
+
+    mpipe = gridpp.MultiEnsiPipeline(grid, pts, structure,
+                                     variant="ebesc", max_points=6)
+    pobs_e = (np.asarray(pback)[:, None]
+              + rng.normal(0, 1, (n_obs, e))).astype(np.float32)
+    mcycles = [(bg3 + np.float32(i), pobs_e, ratios)
+               for i in range(n_cyc)]
+    streamed = list(mpipe.serve_stream(mcycles))
+    assert len(streamed) == n_cyc
+    for got, args in zip(streamed, mcycles):
+        np.testing.assert_array_equal(got, mpipe(*args))
+
+
 def test_flat_pipeline_ratios_default_cycle():
     """A flat-path (small-grid) Pipeline built with ratios= must serve
     run_device cycles without re-passing pratios (regression: the
