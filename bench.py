@@ -68,8 +68,12 @@ def main():
     pobs = pback + rng.normal(0, 1, p).astype(np.float32)
     ratios = np.full(p, 0.1, np.float32)
 
-    cycles = 10
-    xfer_reps = 6
+    # 6 cycles reproduce the 10-cycle compute fields to <0.5% (measured
+    # r4/r5); fewer cycles keep the whole bench inside the driver budget
+    # even on a throttled-tunnel day (a 10-cycle + min-of-6-transfer run
+    # exceeded 580 s twice on 2026-08-21)
+    cycles = 6
+    xfer_reps = 4
 
     _stage("uploading device-resident inputs")
     # Device-resident inputs: distinct per cycle so nothing short-circuits
@@ -213,7 +217,7 @@ def main():
 
     stream_rates("fast", pipe,
                  lambda bg, po: pipe.run_device(bg, po, assume_valid=True),
-                 lambda i: (background + np.float32(i), pobs), 6)
+                 lambda i: (background + np.float32(i), pobs), 4)
     stream_rates("ensi", epipe,
                  lambda bg, po, ps: epipe.run_device(
                      bg, po, ps, assume_valid=True)[0],
