@@ -127,7 +127,10 @@ def doping_square(igrid: Grid, background, points: Points, observations,
             "All halfwidth must be greater than or equal to 0")
     ny, nx = output.shape
     check_elev = np.isfinite(max_elev_diff)
-    nn = igrid.nearest_map(points.lats, points.lons).astype(np.int64)
+    # the obs->cell map is pure geometry: cache per (grid, points) like
+    # the downscaling ops and gridding_nearest
+    nn = igrid.nearest_map(points.lats, points.lons,
+                           cache_obj=points).astype(np.int64)
     n_pts = points.size()
     if n_pts == 0:
         return output
