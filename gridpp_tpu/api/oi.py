@@ -238,14 +238,54 @@ def _oi_native(bpoints, opts, loc, structure, kt, p1_np, o_np, pobs_k,
             int(max_points), bool(allow_extrapolation), background,
             bvariance)
         return res
+
+    # Chunked (large-grid) candidates: `opts` holds only valid
+    # observations here (oi.cpp:250-260 pre-filter in _oi_points), so
+    # the canonical shortlist's provably-complete top-k_cap by rho
+    # (ops/canonical.py; same native pair evaluator as the solver's
+    # in-kernel select_topk) contains the exact top max_points for
+    # every gridpoint — feeding the solver from it is bit-identical to
+    # the exact per-block ball queries (verified at 700^2 with an
+    # active elevation kernel). It is the better precompute when the
+    # shortlist is cheap (monotone rho order: obs elev/laf uniform, so
+    # k-NN needs no growth — the 2000^2/10k cold call drops ~7 min ->
+    # ~50 s, and the solver scans 4*max_points candidates instead of
+    # the ~in-radius count, halving the warm call too) or when the
+    # network is dense (the ball path materializes millions of scipy
+    # Python lists whose cost grows with the in-radius count).
+    # Otherwise (sparse network + active vertical/laf kernels, where
+    # the rho bound cannot prune) the ball path stays cheaper.
+    # max_points <= 0 means "use every in-radius obs" (no top-k cut),
+    # which a capped shortlist cannot serve.
+    sl = None
+    if int(max_points) > 0:
+        from ..ops.canonical import canonical_shortlist, monotone_obs
+        use_sl = monotone_obs(structure, opts)
+        if not use_sl:
+            # sampled mean in-radius count; crossover measured between
+            # ~100 (ball faster) and ~360 (shortlist faster) on this
+            # class of machine
+            step = max(1, n // 2048)
+            cts = opts.index.radius_counts(
+                bpoints.lats[::step], bpoints.lons[::step],
+                float(np.max(loc)) if np.asarray(loc).size else 0.0)
+            use_sl = cts.size > 0 and float(cts.mean()) >= 192.0
+        if use_sl:
+            k_cap = min(opts.size(), max(4 * int(max_points), 32))
+            sl = canonical_shortlist(bpoints, opts, structure, k_cap)
+
     out = np.asarray(background, np.float32).copy()
     avar = np.asarray(bvariance, np.float32).copy()
     block = _BLOCK
     for start in range(0, n, block):
         end = min(start + block, n)
-        res_b = _candidates_block(bpoints, opts, loc, start, end, obs_key)
-        if res_b is None:
-            continue
+        if sl is not None:
+            res_b = (sl.sel[start:end], sl.valid[start:end])
+        else:
+            res_b = _candidates_block(bpoints, opts, loc, start, end,
+                                      obs_key)
+            if res_b is None:
+                continue
         gfb = {k: v[start:end] for k, v in gfx.items()}
         res = native.oi_host_solve(
             gfb, ofx, pobs_k, pbg_k, pratios_k, res_b[0], res_b[1], kt,

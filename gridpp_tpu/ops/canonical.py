@@ -38,7 +38,7 @@ from ..structure import (CressmanStructure, CrossValidation,
                          LinearStructure, MultipleStructure, _KERNELS,
                          _KernelStructure, _NpWrap, StructureFunction)
 
-__all__ = ["canonical_shortlist", "CanonicalShortlist"]
+__all__ = ["canonical_shortlist", "CanonicalShortlist", "monotone_obs"]
 
 
 class CanonicalShortlist:
@@ -142,6 +142,35 @@ def _rho_bound(structure, dist, h_rows):
     return val * np.float32(1.0001) + np.float32(1e-6)
 
 
+def monotone_obs(structure, opts) -> bool:
+    """True when per-gridpoint rho order equals distance order.
+
+    Holds for a plain kernel structure (incl. spatial h/v/w variants —
+    their factors are per-GRIDPOINT constants) whose vertical and laf
+    factors are constant across the OBSERVATION set: all obs elevations
+    mutually equal or all missing, and likewise for lafs. Then the
+    k-nearest proposal IS the top-k by rho, so the shortlist is
+    complete at k_cap with no growth and no bound. Wrapper structures
+    (Multiple, CrossValidation) and Linear (value-difference
+    correlations) are excluded.
+    """
+    s = structure
+    if not isinstance(s, _KernelStructure) or isinstance(
+            s, LinearStructure):
+        return False
+
+    def const(a):
+        a = np.asarray(a)
+        f = np.isfinite(a)
+        if not f.any():
+            return True  # factor is uniformly skipped
+        if not f.all():
+            return False  # mixed skip/apply varies per obs
+        return bool(np.all(a == a.ravel()[0]))
+
+    return const(opts.elevs) and const(opts.lafs)
+
+
 def _canonical_order(ids, rho, valid, n_obs):
     """Order: rho descending, obs id ascending on exact ties, invalid
     slots last. Returns take_along_axis index array.
@@ -195,6 +224,7 @@ def canonical_shortlist(bpoints, opts, structure: StructureFunction,
     ub = rmax if rmax > 0 else np.finfo(np.float64).tiny
     tree = opts.index.tree
     bxyz = bpoints.xyz
+    mono = monotone_obs(structure, opts)
 
     sel = np.zeros((n, k_cap), np.int32)
     rho = np.zeros((n, k_cap), np.float32)
@@ -232,6 +262,14 @@ def canonical_shortlist(bpoints, opts, structure: StructureFunction,
                 covered |= True
             need = ~covered
             bound_done = np.zeros(pending.size, bool)
+            if need.any() and mono:
+                # monotone order: a row holding k_cap valid candidates
+                # already has the global top-k_cap (anything outside
+                # the k-nearest proposal is farther, hence lower rho)
+                idx = np.nonzero(need)[0]
+                ok = nvalid[need] >= k_cap
+                need[idx[ok]] = False
+                bound_done[idx[ok]] = True
             if need.any():
                 bound = _rho_bound(structure, dist[need, -1],
                                    gfx["h"][pending[need]]
@@ -255,7 +293,23 @@ def canonical_shortlist(bpoints, opts, structure: StructureFunction,
             if pending.size and k >= n_obs:
                 # should be unreachable (k == n_obs always covers)
                 break
-            k = min(n_obs, 4 * k)
+            if pending.size:
+                # Count-informed jump: when the rho bound cannot prove
+                # completeness (strong vertical/laf kernels make the
+                # k_cap-th selected rho tiny against the distance-only
+                # bound), a blind x4 ladder burns full re-queries per
+                # rung. One radius-count query (native cell-hash or
+                # scipy return_length — no Python lists) sizes the
+                # final proposal directly: k must EXCEED the in-radius
+                # count so the k-th neighbour provably lies beyond the
+                # localization radius. Counts use rmax (>= per-row
+                # loc), an upper bound, so coverage stays provable.
+                cts = opts.index.radius_counts(
+                    bpoints.lats[pending], bpoints.lons[pending], ub)
+                k_need = int(cts.max()) + 1 if cts.size else 4 * k
+                k = min(n_obs, max(2 * k, k_need))
+            else:
+                k = min(n_obs, 4 * k)
 
     out = CanonicalShortlist(sel, rho, valid, truncated, n_obs)
     if len(cache) > 6:
