@@ -215,6 +215,47 @@ def _native_kernel_type(structure):
             ToarStructure: 3, PowerlawStructure: 4}.get(type(structure))
 
 
+def _chunked_shortlist(bpoints, opts, structure, loc, max_points, n):
+    """Canonical shortlist feed for the chunked native host paths
+    (OI and EnSI), or None when the per-block ball queries are the
+    better precompute.
+
+    `opts` holds only valid observations (the callers pre-filter,
+    oi.cpp:250-260), so the canonical top-k_cap by rho
+    (ops/canonical.py; the same native pair evaluator the solvers'
+    in-kernel select_topk runs) provably contains the exact top
+    max_points for every gridpoint — feeding the solvers from it is
+    bit-identical to the exact ball queries (verified at 700^2 with an
+    active elevation kernel). It wins when the shortlist is cheap
+    (monotone rho order: obs elev/laf uniform, so the k-NN proposal is
+    complete with no growth — the 2000^2/10k cold call drops ~7 min ->
+    ~1 min and the solver scans 4*max_points candidates instead of the
+    ~in-radius count, 20.5 s -> ~6 s warm) or when the network is
+    dense (the ball path materializes millions of scipy Python lists
+    whose cost grows with the in-radius count). Sparse networks with
+    active vertical/laf kernels (where the rho bound cannot prune)
+    keep the ball path. max_points <= 0 means "use every in-radius
+    obs", which a capped shortlist cannot serve.
+    """
+    if int(max_points) <= 0:
+        return None
+    from ..ops.canonical import canonical_shortlist, monotone_obs
+    use_sl = monotone_obs(structure, opts)
+    if not use_sl:
+        # sampled mean in-radius count; the crossover sits between
+        # ~100 (ball faster) and ~360 (shortlist faster) on this
+        # class of machine
+        step = max(1, n // 2048)
+        cts = opts.index.radius_counts(
+            bpoints.lats[::step], bpoints.lons[::step],
+            float(np.max(loc)) if np.asarray(loc).size else 0.0)
+        use_sl = cts.size > 0 and float(cts.mean()) >= 192.0
+    if not use_sl:
+        return None
+    k_cap = min(opts.size(), max(4 * int(max_points), 32))
+    return canonical_shortlist(bpoints, opts, structure, k_cap)
+
+
 def _oi_native(bpoints, opts, loc, structure, kt, p1_np, o_np, pobs_k,
                pbg_k, pratios_k, background, bvariance, max_points,
                allow_extrapolation, chunked, cand, mask, obs_key):
@@ -239,40 +280,7 @@ def _oi_native(bpoints, opts, loc, structure, kt, p1_np, o_np, pobs_k,
             bvariance)
         return res
 
-    # Chunked (large-grid) candidates: `opts` holds only valid
-    # observations here (oi.cpp:250-260 pre-filter in _oi_points), so
-    # the canonical shortlist's provably-complete top-k_cap by rho
-    # (ops/canonical.py; same native pair evaluator as the solver's
-    # in-kernel select_topk) contains the exact top max_points for
-    # every gridpoint — feeding the solver from it is bit-identical to
-    # the exact per-block ball queries (verified at 700^2 with an
-    # active elevation kernel). It is the better precompute when the
-    # shortlist is cheap (monotone rho order: obs elev/laf uniform, so
-    # k-NN needs no growth — the 2000^2/10k cold call drops ~7 min ->
-    # ~50 s, and the solver scans 4*max_points candidates instead of
-    # the ~in-radius count, halving the warm call too) or when the
-    # network is dense (the ball path materializes millions of scipy
-    # Python lists whose cost grows with the in-radius count).
-    # Otherwise (sparse network + active vertical/laf kernels, where
-    # the rho bound cannot prune) the ball path stays cheaper.
-    # max_points <= 0 means "use every in-radius obs" (no top-k cut),
-    # which a capped shortlist cannot serve.
-    sl = None
-    if int(max_points) > 0:
-        from ..ops.canonical import canonical_shortlist, monotone_obs
-        use_sl = monotone_obs(structure, opts)
-        if not use_sl:
-            # sampled mean in-radius count; crossover measured between
-            # ~100 (ball faster) and ~360 (shortlist faster) on this
-            # class of machine
-            step = max(1, n // 2048)
-            cts = opts.index.radius_counts(
-                bpoints.lats[::step], bpoints.lons[::step],
-                float(np.max(loc)) if np.asarray(loc).size else 0.0)
-            use_sl = cts.size > 0 and float(cts.mean()) >= 192.0
-        if use_sl:
-            k_cap = min(opts.size(), max(4 * int(max_points), 32))
-            sl = canonical_shortlist(bpoints, opts, structure, k_cap)
+    sl = _chunked_shortlist(bpoints, opts, structure, loc, max_points, n)
 
     out = np.asarray(background, np.float32).copy()
     avar = np.asarray(bvariance, np.float32).copy()

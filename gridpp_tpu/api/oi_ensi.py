@@ -267,13 +267,23 @@ def _ensi_native(bpoints, opts, loc, structure, kt, p1_np, o_np, obs_k,
             return None
         return res[0], int(res[1].sum())
 
+    # canonical-shortlist feed when cheaper than per-block ball queries
+    # (same exactness argument and gate as the deterministic path:
+    # api/oi.py _chunked_shortlist)
+    from .oi import _chunked_shortlist
+    sl = _chunked_shortlist(bpoints, opts, structure, loc, max_points, n)
+
     out = bg_valid.copy()
     n_cond = 0
     for start in range(0, n, _BLOCK):
         end = min(start + _BLOCK, n)
-        res_b = _candidates_block(bpoints, opts, loc, start, end, obs_key)
-        if res_b is None:
-            continue
+        if sl is not None:
+            res_b = (sl.sel[start:end], sl.valid[start:end])
+        else:
+            res_b = _candidates_block(bpoints, opts, loc, start, end,
+                                      obs_key)
+            if res_b is None:
+                continue
         gfb = {k: v[start:end] for k, v in gfx.items()}
         res = native.oi_ensi_host_solve(
             gfb, ofx, obs_k, sig_k, yhat_k, yanom_k, res_b[0], res_b[1],
